@@ -100,6 +100,7 @@ assert VOCAB_SIZE == 17914
 # callers override from an actual tokenization.json via load_metadata_vocab().
 DEFAULT_METADATA_VOCAB_SIZE = 568
 NUM_META_TOKENS = 6  # [band, genre x4 (padded), decade]
+NUM_META = NUM_META_TOKENS
 
 
 def load_metadata_vocab(tokenization_path: str | Path) -> int:

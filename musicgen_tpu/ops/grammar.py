@@ -1,0 +1,86 @@
+"""Grammar/loss-shaping ops ("filtered logits").
+
+Reproduces the reference's allowed-next-token weighting exactly
+(reference: train.py:79-138, duplicated in train_parallel.py:83-141), but the
+5 x vocab mask is built ONCE as a constant instead of being re-materialized
+every training step (reference rebuilds it per call, train.py:125).
+
+Field-transition semantics (including the off-by-one quirks that shape what
+the trained model sees — each field's LAST token is excluded from its mask
+row except tempo):
+
+  prev in pitch  -> allow dyn    [16512, 16639)
+  prev in dyn    -> allow length [16640, 17151) * linspace(1,3,511)
+  prev in length -> allow time   [17152, 17663)  U  tempo [17664, 17914)
+  prev in time   -> allow tempo  [17664, 17914)
+  prev in tempo  -> allow pitch  [0, 16511) * 10
+
+The filtered value is  -log_softmax(logits) * mask ; the trainer feeds it to
+cross-entropy as if it were a logit vector, and the sampler treats it as an
+unnormalized probability vector — both counterintuitive, both reproduced
+faithfully (SURVEY.md "Hard parts").
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import VOCAB, VocabLayout
+
+
+@functools.lru_cache(maxsize=4)
+def _grammar_mask_np(layout: VocabLayout = VOCAB) -> np.ndarray:
+    d = layout.disc
+    v = layout.vocab_size
+    mask = np.zeros((5, v), dtype=np.float32)
+
+    # Row i applies when the previous token falls in field-bucket i.
+    mask[0, layout.dyn_start : layout.length_start - 1] = 1.0
+    mask[1, layout.length_start : layout.time_start - 1] = np.linspace(
+        1.0, 3.0, d.length - 1, dtype=np.float64
+    ).astype(np.float32)
+    mask[2, layout.time_start : layout.tempo_start - 1] = 1.0
+    mask[2, layout.tempo_start : v] = 1.0  # length may also be followed by tempo
+    mask[3, layout.tempo_start : v] = 1.0
+    mask[4, layout.pitch_start : layout.dyn_start - 1] = 10.0  # pitch boost x10
+    return mask
+
+
+def grammar_mask(layout: VocabLayout = VOCAB) -> jax.Array:
+    """(5, vocab) float32 allowed-next-token weights, constant."""
+    return jnp.asarray(_grammar_mask_np(layout))
+
+
+def field_bucket(tokens: jax.Array, layout: VocabLayout = VOCAB) -> jax.Array:
+    """Token -> field bucket in {0:pitch, 1:dyn, 2:length, 3:time, 4:tempo}.
+
+    Matches torch.bucketize(right=False) over the reference boundaries
+    (train.py:117-124): boundary values themselves bucket LOW.
+    """
+    boundaries = jnp.asarray(layout.field_boundaries, dtype=tokens.dtype)
+    return jnp.searchsorted(boundaries, tokens, side="left").astype(jnp.int32)
+
+
+def pick_weights_by_prev_token(
+    prev_tokens: jax.Array, layout: VocabLayout = VOCAB
+) -> jax.Array:
+    """(..., ) int tokens -> (..., vocab) mask rows (reference train.py:114-131)."""
+    mask = grammar_mask(layout)
+    return mask[field_bucket(prev_tokens, layout)]
+
+
+def filtered_logits(
+    prev_tokens: jax.Array, logits: jax.Array, layout: VocabLayout = VOCAB
+) -> jax.Array:
+    """-log_softmax(logits) * grammar_weights(prev_tokens).
+
+    Matches reference train.py:133-138 (`filtered_logit`). `prev_tokens` are
+    the input tokens at each position (the token PRECEDING the prediction),
+    logits the model output at the same positions.
+    """
+    weights = pick_weights_by_prev_token(prev_tokens, layout)
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -log_probs * weights
