@@ -1,0 +1,357 @@
+"""Grammar-constrained, repetition-penalized autoregressive sampler.
+
+Reproduces the reference sampler's semantics (scripts/generate.py:14-95)
+as a fully on-device `jax.lax.scan` over cached model state — replacing the
+reference's per-token host loop, which re-forwards the whole 2048-token
+window, walks the generated history in Python, and syncs device->host for
+every sequence at every token (the O(T^2) + sync bottleneck that caps it at
+~26 tok/s; BASELINE.md).
+
+Per generated token (reference logic, in order):
+  1. w = filtered_logits(prev, logits)[:, -1]      (grammar weighting; the
+     positive -log_softmax * mask values ARE the sampling weights)
+  2. Repetition penalty over the "recent" window: the token suffix after the
+     last position where cumulative time-delta ticks reach 64*16 = 1024
+     (generate.py:36-45). Counts c of each token id in the window divide w:
+     pitch tokens by min(1.01^c, 1.2), dynamic tokens by min(1.02^c, 1.2)
+     (generate.py:59-71).
+  3. Per-field random top-k: prev in tempo -> k ~ {1,1,1,2,2};
+     dyn -> {1,3}; pitch -> {1,2}; length/time -> 1 (generate.py:47-56).
+  4. top-k renormalize + multinomial (generate.py:76-81). greedy=True forces
+     k=1 (deterministic argmax — the bit-exactness vehicle, SURVEY.md §7).
+
+The penalty window is maintained incrementally with a ring buffer + two
+pointers (O(1) amortized per token, exact vs the reference's backward walk
+for windows up to `ring_size` tokens).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import VOCAB, VocabLayout
+from ..ops.grammar import field_bucket, filtered_logits
+
+WINDOW_TICKS = 64 * 16  # generate.py:42
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerConfig:
+    num_tokens: int = 1000
+    ring_size: int = 2048
+    greedy: bool = False
+    max_topk: int = 3
+
+
+class PenaltyState(NamedTuple):
+    """Ring-buffered repetition-penalty window (per batch element)."""
+
+    hist: jax.Array  # (B, V) int32 counts over the current window
+    ring_tok: jax.Array  # (B, W) int32 stream tokens by stream_idx % W
+    ring_c: jax.Array  # (B, W) int32 time-tick contribution of each token
+    start: jax.Array  # (B,) int32 stream index of the window start
+    head: jax.Array  # (B,) int32 stream index AFTER the newest token
+    wsum: jax.Array  # (B,) int32 sum of contributions in [start, head)
+
+
+def _contribution(tokens: jax.Array, layout: VocabLayout = VOCAB) -> jax.Array:
+    """Time-delta tick value of a token (0 for non-time tokens)."""
+    is_time = (tokens >= layout.time_start) & (tokens < layout.tempo_start)
+    return jnp.where(is_time, tokens - layout.time_start, 0).astype(jnp.int32)
+
+
+def init_penalty_state(
+    prompt: jax.Array, ring_size: int, layout: VocabLayout = VOCAB
+) -> PenaltyState:
+    """Vectorized construction of the window state over the prompt.
+
+    Mirrors the reference's backward walk (generate.py:36-45): the window
+    starts after the LAST index t* whose suffix tick-sum reaches 1024; when
+    no suffix reaches it, the first token is still excluded.
+    """
+    b, p = prompt.shape
+    v = layout.vocab_size
+    c = _contribution(prompt, layout)  # (B, P)
+    # suffix[i] = sum(c[i:])
+    suffix = jnp.cumsum(c[:, ::-1], axis=1)[:, ::-1]
+    qualifies = suffix >= WINDOW_TICKS
+    idx = jnp.arange(p)
+    t_star = jnp.max(jnp.where(qualifies, idx, -1), axis=1)  # (B,), -1 if none
+    start = jnp.maximum(t_star + 1, 1)  # reference always drops token 0
+    start = jnp.maximum(start, p - ring_size + 1)  # ring capacity guard
+
+    in_window = idx[None, :] >= start[:, None]
+    hist = jax.vmap(
+        lambda toks, m: jnp.zeros((v,), jnp.int32).at[toks].add(m.astype(jnp.int32))
+    )(prompt, in_window)
+
+    w = ring_size
+    ring_tok = jnp.zeros((b, w), jnp.int32)
+    ring_c = jnp.zeros((b, w), jnp.int32)
+    n_keep = min(p, w)
+    tail_tokens = prompt[:, -n_keep:]
+    tail_c = c[:, -n_keep:]
+    slots = jnp.mod(jnp.arange(p - n_keep, p), w)
+    ring_tok = ring_tok.at[:, slots].set(tail_tokens)
+    ring_c = ring_c.at[:, slots].set(tail_c)
+
+    wsum = jnp.sum(jnp.where(in_window, c, 0), axis=1).astype(jnp.int32)
+    head = jnp.full((b,), p, jnp.int32)
+    return PenaltyState(hist, ring_tok, ring_c, start.astype(jnp.int32), head, wsum)
+
+
+def push_token(
+    state: PenaltyState, token: jax.Array, layout: VocabLayout = VOCAB
+) -> PenaltyState:
+    """Append `token` (B,) to the window and advance the start pointer."""
+    w = state.ring_tok.shape[1]
+    b = token.shape[0]
+    c_new = _contribution(token, layout)
+    slot = jnp.mod(state.head, w)
+    ring_tok = state.ring_tok.at[jnp.arange(b), slot].set(token)
+    ring_c = state.ring_c.at[jnp.arange(b), slot].set(c_new)
+    hist = state.hist.at[jnp.arange(b), token].add(1)
+    wsum = state.wsum + c_new
+    head = state.head + 1
+
+    def cond(carry):
+        hist, start, wsum = carry
+        return jnp.any(wsum >= WINDOW_TICKS)
+
+    def body(carry):
+        hist, start, wsum = carry
+        advance = wsum >= WINDOW_TICKS
+        sslot = jnp.mod(start, w)
+        evict_tok = ring_tok[jnp.arange(b), sslot]
+        evict_c = ring_c[jnp.arange(b), sslot]
+        hist = hist.at[jnp.arange(b), evict_tok].add(
+            jnp.where(advance, -1, 0)
+        )
+        wsum = jnp.where(advance, wsum - evict_c, wsum)
+        start = jnp.where(advance, start + 1, start)
+        return hist, start, wsum
+
+    hist, start, wsum = jax.lax.while_loop(
+        cond, body, (hist, state.start, wsum)
+    )
+    return PenaltyState(hist, ring_tok, ring_c, start, head, wsum)
+
+
+def penalty_divisor(
+    hist: jax.Array, layout: VocabLayout = VOCAB
+) -> jax.Array:
+    """(B, V) divisors from window counts (generate.py:59-71)."""
+    v = layout.vocab_size
+    ids = jnp.arange(v)
+    base = jnp.where(
+        ids < layout.dyn_start,
+        jnp.float32(1.01),  # pitch tokens
+        jnp.where(ids < layout.length_start, jnp.float32(1.02), jnp.float32(1.0)),
+    )
+    pen = jnp.minimum(base[None, :] ** hist.astype(jnp.float32), 1.2)
+    return jnp.where(base[None, :] > 1.0, pen, 1.0)
+
+
+def _sample_k(prev: jax.Array, key: jax.Array, layout: VocabLayout = VOCAB):
+    """Per-field random top-k (generate.py:47-56). Returns (B,) int32 in 1..3."""
+    bucket = field_bucket(prev, layout)  # 0 pitch,1 dyn,2 len,3 time,4 tempo
+    # Choice tables as probabilities over k in {1,2,3}.
+    table = jnp.asarray(
+        [
+            [0.5, 0.5, 0.0],  # prev pitch: {1,2}
+            [0.5, 0.0, 0.5],  # prev dyn: {1,3}
+            [1.0, 0.0, 0.0],  # prev length: 1
+            [1.0, 0.0, 0.0],  # prev time: 1
+            [0.6, 0.4, 0.0],  # prev tempo: {1,1,1,2,2}
+        ],
+        jnp.float32,
+    )
+    probs = table[bucket]  # (B, 3)
+    choice = jax.random.categorical(key, jnp.log(probs + 1e-30), axis=-1)
+    return (choice + 1).astype(jnp.int32)
+
+
+def _pick_next(
+    w: jax.Array,  # (B, V) nonneg sampling weights
+    k: jax.Array,  # (B,) in 1..max_topk
+    key: jax.Array,
+    max_topk: int,
+    greedy: bool,
+) -> jax.Array:
+    if greedy:
+        return jnp.argmax(w, axis=-1).astype(jnp.int32)
+    vals, idxs = jax.lax.top_k(w, max_topk)  # (B, K)
+    mask = jnp.arange(max_topk)[None, :] < k[:, None]
+    probs = jnp.where(mask, vals, 0.0)
+    logits = jnp.log(probs + 1e-30)
+    choice = jax.random.categorical(key, logits, axis=-1)  # (B,)
+    return jnp.take_along_axis(idxs, choice[:, None], axis=1)[:, 0].astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Main sampling loop
+# ---------------------------------------------------------------------------
+
+StepFn = Callable[[jax.Array, Any, jax.Array], Tuple[jax.Array, Any]]
+# step_fn(token (B,), model_state, stream_idx scalar) -> (logits (B,V), state)
+
+
+def sample_tokens(
+    step_fn: StepFn,
+    init_logits: jax.Array,  # (B, V) logits predicting the first new token
+    init_model_state: Any,
+    prompt: jax.Array,  # (B, P) int32
+    cfg: SamplerConfig,
+    rng: jax.Array,
+    layout: VocabLayout = VOCAB,
+) -> jax.Array:
+    """Generate cfg.num_tokens tokens. Returns (B, num_tokens) int32.
+
+    `init_logits` are the model's logits at the last prompt position (from
+    prefill); `step_fn` advances the cached model by one token.
+    """
+    b, p = prompt.shape
+    pen0 = init_penalty_state(prompt, cfg.ring_size, layout)
+    last0 = prompt[:, -1]
+
+    def body(carry, step_key):
+        logits, model_state, pen, last, stream_idx = carry
+        w = filtered_logits(last, logits, layout)  # (B, V)
+        w = w / penalty_divisor(pen.hist, layout)
+        k_key, pick_key = jax.random.split(step_key)
+        k = _sample_k(last, k_key, layout)
+        next_tok = _pick_next(w, k, pick_key, cfg.max_topk, cfg.greedy)
+        pen = push_token(pen, next_tok, layout)
+        logits, model_state = step_fn(next_tok, model_state, stream_idx)
+        return (
+            (logits, model_state, pen, next_tok, stream_idx + 1),
+            next_tok,
+        )
+
+    keys = jax.random.split(rng, cfg.num_tokens)
+    carry0 = (init_logits, init_model_state, pen0, last0, jnp.int32(p))
+    _, toks = jax.lax.scan(body, carry0, keys)
+    return toks.transpose(1, 0)  # (B, num_tokens)
+
+
+# ---------------------------------------------------------------------------
+# Model adapters
+# ---------------------------------------------------------------------------
+
+def make_sampler(model, params, kind: str, block_len: int):
+    """Returns (prefill_fn, step_fn) for `sample_tokens`.
+
+    kind: 'transformer' | 'mamba' | 'xlstm'. The transformer step threads the
+    ring-KV geometry (sample.cache); recurrent models carry pure state.
+    """
+    from .cache import step_geometry, token_slot  # local import, no cycle
+
+    if kind == "transformer":
+        from ..models.transformer import TransformerLM
+
+        def prefill(tokens, meta):
+            logits, caches = model.apply(
+                params, tokens, meta, method=TransformerLM.prefill
+            )
+            return logits[:, -1, :], caches
+
+        def step(token, caches, stream_idx):
+            total = stream_idx + 1
+            ages, rel_base = step_geometry(total, block_len)
+            slot = token_slot(stream_idx, block_len)
+            return model.apply(
+                params, token, caches, slot, ages, rel_base,
+                method=TransformerLM.step,
+            )
+
+        return prefill, step
+
+    if kind == "mamba":
+        from ..models.mamba import MambaLM
+
+        def prefill(tokens, meta):
+            logits, states = model.apply(params, tokens, meta, method=MambaLM.prefill)
+            return logits[:, -1, :], states
+
+        def step(token, states, stream_idx):
+            return model.apply(params, token, states, method=MambaLM.step)
+
+        return prefill, step
+
+    if kind == "xlstm":
+        from ..models.xlstm import XLSTMLM
+
+        def prefill(tokens, meta):
+            logits, states = model.apply(params, tokens, meta, method=XLSTMLM.prefill)
+            return logits[:, -1, :], states
+
+        def step(token, states, stream_idx):
+            return model.apply(params, token, states, method=XLSTMLM.step)
+
+        return prefill, step
+
+    raise ValueError(f"unknown model kind: {kind}")
+
+
+def generate(
+    model,
+    params,
+    kind: str,
+    prompt: jax.Array,
+    meta: jax.Array,
+    num_tokens: int,
+    block_len: int,
+    rng: jax.Array,
+    greedy: bool = False,
+    jit: bool = True,
+) -> jax.Array:
+    """End-to-end conditioned generation (reference scripts/generate.py
+    `generate` equivalent). Returns (B, P + num_tokens) full streams."""
+    prefill, step = make_sampler(model, params, kind, block_len)
+    cfg = SamplerConfig(num_tokens=num_tokens, ring_size=max(block_len, 2048),
+                        greedy=greedy)
+
+    def run(prompt, meta, rng):
+        init_logits, state = prefill(prompt, meta)
+        toks = sample_tokens(step, init_logits, state, prompt, cfg, rng)
+        return jnp.concatenate([prompt, toks], axis=1)
+
+    if jit:
+        run = jax.jit(run)
+    return run(prompt, meta, rng)
+
+
+def reference_windowed_generate(
+    model,
+    params,
+    prompt: jax.Array,
+    meta: jax.Array,
+    num_tokens: int,
+    block_len: int,
+    rng: jax.Array,
+    greedy: bool = True,
+    layout: VocabLayout = VOCAB,
+) -> jax.Array:
+    """Validation-mode sampler: full re-forward of the slid window per token,
+    token-for-token the reference's semantics (scripts/generate.py:26-89)
+    including window truncation. O(window) per token — use for parity checks,
+    not production."""
+    stream = prompt
+    pen = init_penalty_state(prompt, max(block_len, 2048), layout)
+    p = prompt.shape[1]
+    for j in range(num_tokens):
+        window = stream[:, -block_len:]
+        logits = model.apply(params, window, meta)[:, -1, :]
+        last = stream[:, -1]
+        w = filtered_logits(last, logits, layout)
+        w = w / penalty_divisor(pen.hist, layout)
+        rng, k_key, pick_key = jax.random.split(rng, 3)
+        k = _sample_k(last, k_key, layout)
+        next_tok = _pick_next(w, k, pick_key, 3, greedy)
+        pen = push_token(pen, next_tok, layout)
+        stream = jnp.concatenate([stream, next_tok[:, None]], axis=1)
+    return stream

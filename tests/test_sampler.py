@@ -1,0 +1,162 @@
+"""Sampler tests: penalty-window semantics vs a literal reimplementation of
+the reference's backward walk, grammar adherence of sampled streams, greedy
+determinism, and cached-vs-reference-windowed equality for recurrent models
+in the non-truncating regime."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from musicgen_tpu.config import NUM_META, VOCAB, MambaConfig
+from musicgen_tpu.models.mamba import MambaLM
+from musicgen_tpu.ops.grammar import field_bucket
+from musicgen_tpu.sample.sampler import (
+    SamplerConfig,
+    WINDOW_TICKS,
+    init_penalty_state,
+    make_sampler,
+    penalty_divisor,
+    push_token,
+    reference_windowed_generate,
+    sample_tokens,
+)
+
+SMALL = MambaConfig(
+    d_model=32, n_layers=2, d_state=8, d_conv=4, expand=2, headdim=8,
+    chunk_size=8, vocab_size=VOCAB.vocab_size,
+    metadata_vocab_size=9,
+)
+
+
+def _reference_window_counts(stream):
+    """Literal reimplementation of generate.py:36-45 + Counter(recent)."""
+    val = 0
+    j = 0
+    for j, token in enumerate(reversed(stream)):
+        if VOCAB.time_start <= token < VOCAB.tempo_start:
+            val += token - VOCAB.time_start
+        if val >= WINDOW_TICKS:
+            break
+    recent = stream[-j:] if j > 0 else []
+    counts = {}
+    for t in recent:
+        counts[t] = counts.get(t, 0) + 1
+    return counts
+
+
+def _random_stream(rng, n):
+    """Realistic token stream: cycles pitch,dyn,len,(time),tempo."""
+    out = []
+    while len(out) < n:
+        out.append(int(rng.integers(0, VOCAB.dyn_start)))
+        out.append(int(rng.integers(VOCAB.dyn_start, VOCAB.length_start)))
+        out.append(int(rng.integers(VOCAB.length_start, VOCAB.time_start)))
+        if rng.random() < 0.7:
+            out.append(int(rng.integers(VOCAB.time_start, VOCAB.time_start + 64)))
+        out.append(int(rng.integers(VOCAB.tempo_start, VOCAB.vocab_size)))
+    return out[:n]
+
+
+def test_penalty_window_matches_reference_walk():
+    rng = np.random.default_rng(0)
+    stream = _random_stream(rng, 300)
+    prompt = jnp.asarray([stream[:150]], jnp.int32)
+    state = init_penalty_state(prompt, ring_size=2048)
+
+    for tok in stream[150:]:
+        # Compare BEFORE pushing: reference computes counts over the stream
+        # so far at the moment of sampling.
+        hist = np.asarray(state.hist[0])
+        expected = _reference_window_counts(stream[: int(state.head[0])])
+        got = {i: int(hist[i]) for i in np.nonzero(hist)[0]}
+        assert got == expected, f"at head={int(state.head[0])}"
+        state = push_token(state, jnp.asarray([tok], jnp.int32))
+
+
+def test_penalty_divisor_values():
+    hist = jnp.zeros((1, VOCAB.vocab_size), jnp.int32)
+    hist = hist.at[0, 100].set(5)  # pitch token, 1.01^5
+    hist = hist.at[0, VOCAB.dyn_start + 3].set(40)  # dyn token, capped
+    hist = hist.at[0, VOCAB.length_start + 2].set(50)  # length: no penalty
+    pen = np.asarray(penalty_divisor(hist))[0]
+    assert np.isclose(pen[100], 1.01 ** 5)
+    assert np.isclose(pen[VOCAB.dyn_start + 3], 1.2)  # min(1.02^40, 1.2)
+    assert pen[VOCAB.length_start + 2] == 1.0
+    assert pen[0] == 1.0
+
+
+def _mamba_setup(prompt_len=24, batch=2):
+    model = MambaLM(SMALL)
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(
+        np.array([_random_stream(rng, prompt_len) for _ in range(batch)]), jnp.int32
+    )
+    meta = jnp.asarray(rng.integers(0, SMALL.metadata_vocab_size, (batch, NUM_META)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), prompt, meta)
+    return model, params, prompt, meta
+
+
+def test_greedy_sampling_deterministic_and_grammatical():
+    model, params, prompt, meta = _mamba_setup()
+    prefill, step = make_sampler(model, params, "mamba", block_len=64)
+    cfg = SamplerConfig(num_tokens=40, greedy=True)
+
+    init_logits, state = prefill(prompt, meta)
+    toks1 = sample_tokens(step, init_logits, state, prompt, cfg, jax.random.PRNGKey(1))
+    init_logits, state = prefill(prompt, meta)
+    toks2 = sample_tokens(step, init_logits, state, prompt, cfg, jax.random.PRNGKey(2))
+    # Greedy is deterministic: different RNG seeds give identical streams.
+    np.testing.assert_array_equal(np.asarray(toks1), np.asarray(toks2))
+
+    # Grammar adherence: each token's field follows the allowed transition
+    # of its predecessor (pitch->dyn, dyn->len, len->time|tempo,
+    # time->tempo, tempo->pitch).
+    allowed = {0: {1}, 1: {2}, 2: {3, 4}, 3: {4}, 4: {0}}
+    stream = np.concatenate([np.asarray(prompt), np.asarray(toks1)], axis=1)
+    buckets = np.asarray(field_bucket(jnp.asarray(stream)))
+    for b in range(stream.shape[0]):
+        for t in range(prompt.shape[1], stream.shape[1]):
+            prev_b, cur_b = buckets[b, t - 1], buckets[b, t]
+            assert cur_b in allowed[prev_b], (
+                f"batch {b} pos {t}: {prev_b} -> {cur_b}"
+            )
+
+
+def test_stochastic_sampling_reproducible_and_grammatical():
+    model, params, prompt, meta = _mamba_setup()
+    prefill, step = make_sampler(model, params, "mamba", block_len=64)
+    cfg = SamplerConfig(num_tokens=30, greedy=False)
+    init_logits, state = prefill(prompt, meta)
+    t1 = sample_tokens(step, init_logits, state, prompt, cfg, jax.random.PRNGKey(7))
+    init_logits, state = prefill(prompt, meta)
+    t2 = sample_tokens(step, init_logits, state, prompt, cfg, jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))  # same seed
+
+    allowed = {0: {1}, 1: {2}, 2: {3, 4}, 3: {4}, 4: {0}}
+    stream = np.concatenate([np.asarray(prompt), np.asarray(t1)], axis=1)
+    buckets = np.asarray(field_bucket(jnp.asarray(stream)))
+    for b in range(stream.shape[0]):
+        for t in range(prompt.shape[1], stream.shape[1]):
+            assert buckets[b, t] in allowed[buckets[b, t - 1]]
+
+
+def test_cached_equals_reference_windowed_before_truncation():
+    """For a recurrent model with the window longer than the total stream,
+    the cached sampler and the reference re-forward sampler produce the
+    IDENTICAL greedy token stream."""
+    model, params, prompt, meta = _mamba_setup(prompt_len=16)
+    n_new = 12
+    block_len = 64  # window never truncates: 16 + 12 < 64
+
+    prefill, step = make_sampler(model, params, "mamba", block_len=block_len)
+    cfg = SamplerConfig(num_tokens=n_new, greedy=True)
+    init_logits, state = prefill(prompt, meta)
+    fast = sample_tokens(step, init_logits, state, prompt, cfg, jax.random.PRNGKey(0))
+    fast_stream = np.concatenate([np.asarray(prompt), np.asarray(fast)], axis=1)
+
+    ref_stream = np.asarray(
+        reference_windowed_generate(
+            model, params, prompt, meta, n_new, block_len, jax.random.PRNGKey(0),
+            greedy=True,
+        )
+    )
+    np.testing.assert_array_equal(fast_stream, ref_stream)
