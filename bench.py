@@ -1,0 +1,86 @@
+"""Headline benchmark: tokens/sec/seq for a 2000-token composer-conditioned
+Mamba sample (batch 2, 2048-token prompt — the reference's primary
+generation workload, scripts/generate_midi_combined.py + generate.py).
+
+Baseline: the reference's effective sampling rate is bounded at ~26
+tokens/sec/seq by its no-cache full-window re-forward per token
+(BASELINE.md, scripts/test_inference.ipynb). vs_baseline = value / 26.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tok/s/seq", "vs_baseline": N}
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_TOK_PER_SEC = 26.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from musicgen_tpu.config import NUM_META, VOCAB, MambaConfig
+    from musicgen_tpu.models.mamba import MambaLM
+    from musicgen_tpu.sample.sampler import SamplerConfig, make_sampler, sample_tokens
+
+    cfg = MambaConfig()  # full reference size
+    model = MambaLM(cfg)
+    rng = np.random.default_rng(0)
+    batch, prompt_len, num_tokens = 2, 2048, 2000
+
+    # Grammar-plausible prompt (field-cycled) so sampling exercises the
+    # real token distribution machinery.
+    def stream(n):
+        out = []
+        while len(out) < n:
+            out.append(int(rng.integers(0, VOCAB.dyn_start)))
+            out.append(int(rng.integers(VOCAB.dyn_start, VOCAB.length_start)))
+            out.append(int(rng.integers(VOCAB.length_start, VOCAB.time_start)))
+            if rng.random() < 0.5:
+                out.append(int(rng.integers(VOCAB.time_start, VOCAB.time_start + 64)))
+            out.append(int(rng.integers(VOCAB.tempo_start, VOCAB.vocab_size)))
+        return out[:n]
+
+    prompt = jnp.asarray([stream(prompt_len) for _ in range(batch)], jnp.int32)
+    meta = jnp.asarray(
+        rng.integers(0, cfg.metadata_vocab_size, (batch, NUM_META)), jnp.int32
+    )
+    params = model.init(jax.random.PRNGKey(0), prompt[:, :16], meta)
+
+    prefill, step = make_sampler(model, params, "mamba", block_len=prompt_len)
+    scfg = SamplerConfig(num_tokens=num_tokens, greedy=False)
+
+    @jax.jit
+    def run(prompt, meta, key):
+        init_logits, state = prefill(prompt, meta)
+        return sample_tokens(step, init_logits, state, prompt, scfg, key)
+
+    # Warmup/compile.
+    toks = run(prompt, meta, jax.random.PRNGKey(0))
+    toks.block_until_ready()
+
+    t0 = time.perf_counter()
+    toks = run(prompt, meta, jax.random.PRNGKey(1))
+    toks.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    per_seq = num_tokens / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "Mamba 2000-token conditioned sampling throughput "
+                "(batch 2, 2048-token prompt, grammar+penalty sampler)",
+                "value": round(per_seq, 2),
+                "unit": "tok/s/seq",
+                "vs_baseline": round(per_seq / BASELINE_TOK_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""Training CLI (reference train.py / train_parallel.py folded into one).
+
+  python -m musicgen_tpu.cli.train --model mamba --data data/np \
+      --metadata data/metadata.json [--resume CKPT] [--parallel]
+
+--parallel switches to the mesh-sharded SPMD step (the torchrun/DDP
+equivalent); on a multi-host pod run under the TPU pod launcher after
+jax.distributed.initialize().
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DEFAULT_CONFIG, MeshConfig, TrainValues
+from ..data.dataset import TokenDataset, make_loaders
+from ..models.registry import init_params, new_model
+from ..parallel.mesh import make_mesh
+from ..train import trainer as T
+from ..train.distributed import build_distributed_training
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="Train a music generator")
+    p.add_argument("--model", choices=["mamba", "xlstm", "transformer"], default="mamba")
+    p.add_argument("--data", required=True, help=".npy token corpus root")
+    p.add_argument("--metadata", required=True, help="metadata.json path")
+    p.add_argument("--tokenizations", default=None)
+    p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--log", default=None)
+    p.add_argument("--resume", default=None, help="checkpoint path to resume")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--block-len", type=int, default=None)
+    p.add_argument("--augmentation", action="store_true")
+    p.add_argument("--parallel", action="store_true", help="mesh-sharded SPMD")
+    p.add_argument("--tp", type=int, default=1, help="model-axis size (with --parallel)")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    cfg = DEFAULT_CONFIG
+    values = TrainValues(
+        block_len=args.block_len or cfg.values.block_len,
+        batch_size=args.batch_size or cfg.values.batch_size,
+        epochs=args.epochs or cfg.values.epochs,
+        augmentation=args.augmentation,
+        learning_rate=cfg.values.learning_rate,
+    )
+    dataset = TokenDataset.from_directory(
+        args.data, args.metadata, args.tokenizations, block_len=values.block_len
+    )
+    train_iter, test_iter = make_loaders(dataset, values, seed=args.seed)
+
+    model = new_model(args.model, cfg)
+    params = init_params(model, args.model, seed=args.seed, block_len=values.block_len)
+
+    ckpt_dir = args.ckpt_dir or os.path.join(cfg.paths.pretrained, args.model)
+    log_path = args.log or os.path.join(
+        cfg.paths.logs, f"training_log_{args.model}.json"
+    )
+
+    if args.resume:
+        optimizer = T.make_optimizer(values)
+        template = T.TrainState(params, optimizer.init(params), 0)
+        state = T.load_checkpoint(args.resume, template)
+        params = state.params
+
+    if args.parallel:
+        mesh = make_mesh(MeshConfig(model=args.tp))
+        params, opt_state, step_fn = build_distributed_training(model, params, mesh, values)
+        logger = T.JsonLogger(log_path)
+        logger.message(f"Training started! mesh={dict(mesh.shape)}")
+        state = T.TrainState(params, opt_state, 0)
+        eval_step = T.make_lm_eval_step(model)
+        try:
+            for epoch in range(values.epochs):
+                for src, trg, meta in train_iter:
+                    state.params, state.opt_state, loss = step_fn(
+                        state.params, state.opt_state,
+                        jnp.asarray(src), jnp.asarray(trg), jnp.asarray(meta),
+                    )
+                    state.step += 1
+                    if state.step % values.eval_interval == 0:
+                        logger.step(state.step, float(loss))
+                val = sum(
+                    float(eval_step(state.params, jnp.asarray(s), jnp.asarray(t), jnp.asarray(m)))
+                    for s, t, m in test_iter
+                ) / max(test_iter.steps_per_epoch, 1)
+                logger.message(f"Epoch [{epoch+1}/{values.epochs}], Validation Loss: {val:.4f}")
+                if (epoch + 1) % values.save_interval == 0:
+                    T.save_checkpoint(ckpt_dir, state, val)
+                    logger.flush()
+        except KeyboardInterrupt:
+            logger.message("Interrupted!")
+        finally:
+            T.save_checkpoint(ckpt_dir, state, 0.0)
+            logger.flush()
+    else:
+        T.train_lm(
+            model, params, train_iter, test_iter, values,
+            ckpt_dir=ckpt_dir, log_path=log_path, seed=args.seed,
+        )
+
+
+if __name__ == "__main__":
+    main()

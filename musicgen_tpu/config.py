@@ -133,6 +133,17 @@ class TrainValues:
     start_of_seq: bool = False
 
 
+# All models pad their vocab-sized matrices (embeddings, lm_head) to a
+# multiple of this so (a) the MXU tiles them efficiently and (b) tensor
+# parallelism can split the vocab dim evenly. Logits are sliced back to the
+# true vocab, so the padding is invisible to losses and sampling.
+VOCAB_PAD_MULTIPLE = 128
+
+
+def padded_vocab(vocab_size: int, multiple: int = VOCAB_PAD_MULTIPLE) -> int:
+    return ((vocab_size + multiple - 1) // multiple) * multiple
+
+
 @dataclasses.dataclass(frozen=True)
 class TransformerConfig:
     """Reference: configs/transformer/config.yaml:1-5."""
@@ -144,10 +155,15 @@ class TransformerConfig:
     dropout: float = 0.01
     vocab_size: int = VOCAB_SIZE
     metadata_vocab_size: int = DEFAULT_METADATA_VOCAB_SIZE
+    vocab_pad_multiple: int = VOCAB_PAD_MULTIPLE
 
     @property
     def seq_len(self) -> int:  # meta prefix + tokens
         return self.block_len + NUM_META_TOKENS
+
+    @property
+    def padded_vocab(self) -> int:
+        return padded_vocab(self.vocab_size, self.vocab_pad_multiple)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -167,6 +183,7 @@ class MambaConfig:
     chunk_size: int = 256
     vocab_size: int = VOCAB_SIZE
     metadata_vocab_size: int = DEFAULT_METADATA_VOCAB_SIZE
+    vocab_pad_multiple: int = VOCAB_PAD_MULTIPLE
     # Reference quirk (models/mamba/mamba.py:32-33): layers are stacked with
     # NO inter-layer residual connections. Keep False for fidelity.
     residual: bool = False
@@ -182,6 +199,10 @@ class MambaConfig:
     @property
     def conv_dim(self) -> int:
         return self.d_inner + 2 * self.ngroups * self.d_state
+
+    @property
+    def padded_vocab(self) -> int:
+        return padded_vocab(self.vocab_size, self.vocab_pad_multiple)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -200,6 +221,11 @@ class XLSTMConfig:
     context_length: int = 2048 + NUM_META_TOKENS
     vocab_size: int = VOCAB_SIZE
     metadata_vocab_size: int = DEFAULT_METADATA_VOCAB_SIZE
+    vocab_pad_multiple: int = VOCAB_PAD_MULTIPLE
+
+    @property
+    def padded_vocab(self) -> int:
+        return padded_vocab(self.vocab_size, self.vocab_pad_multiple)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -217,6 +243,11 @@ class ClassifierConfig:
     context_length: int = 2048
     vocab_size: int = VOCAB_SIZE
     metadata_vocab_size: int = DEFAULT_METADATA_VOCAB_SIZE
+    vocab_pad_multiple: int = VOCAB_PAD_MULTIPLE
+
+    @property
+    def padded_vocab(self) -> int:
+        return padded_vocab(self.vocab_size, self.vocab_pad_multiple)
 
 
 @dataclasses.dataclass(frozen=True)

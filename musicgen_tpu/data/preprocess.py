@@ -1,0 +1,61 @@
+"""Corpus preprocessing: walk a MIDI tree, tokenize, save .npy streams.
+
+Mirrors the reference preprocessor (reference: processing/processing.py:24-55):
+mirrors the <model>/<band>/<song> directory layout, skips files that already
+exist or have numeric suffixes, drops pieces with fewer than 200 notes, and
+swallows per-file codec errors (logged here instead of silently dropped).
+"""
+from __future__ import annotations
+
+import os
+import re
+from pathlib import Path
+from typing import Iterable, List
+
+import numpy as np
+
+from ..midi import codec
+
+
+def find_files_by_extensions(root: str, exts: Iterable[str]) -> List[str]:
+    out = []
+    for path, _, files in os.walk(root):
+        for name in files:
+            if any(name.lower().endswith(e) for e in exts):
+                out.append(os.path.join(path, name))
+    return sorted(out)
+
+
+def preprocess_midi_files(
+    midi_folder: str, preprocess_folder: str, min_notes: int = 200, verbose: bool = True
+) -> int:
+    """Returns the number of files successfully tokenized."""
+    midi_paths = find_files_by_extensions(midi_folder, [".mid", ".midi"])
+    os.makedirs(preprocess_folder, exist_ok=True)
+    count = 0
+    for path in midi_paths:
+        parts = Path(path).parts
+        model_name = parts[-3] if len(parts) >= 3 else "data"
+        band_name = parts[-2] if len(parts) >= 2 else "unknown"
+        song_name = Path(path).stem
+
+        out_dir = os.path.join(preprocess_folder, model_name, band_name)
+        os.makedirs(out_dir, exist_ok=True)
+        new_path = os.path.join(out_dir, song_name)
+
+        if os.path.exists(new_path + ".npy"):
+            continue
+        if re.search(r"\.\d+$", new_path):
+            continue
+        try:
+            notes = codec.extract_midi(path)
+            if len(notes) < min_notes:
+                continue
+            tokens = codec.encode(notes)
+            np.save(new_path + ".npy", np.asarray(tokens, dtype=np.int64))
+            count += 1
+        except Exception as e:  # noqa: BLE001 — reference swallows silently
+            if verbose:
+                print(f"[preprocess] skipping {path}: {type(e).__name__}: {e}")
+            continue
+    return count

@@ -209,7 +209,7 @@ class MambaLM(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.token_embedding = nn.Embed(c.vocab_size, c.d_model, dtype=self.dtype)
+        self.token_embedding = nn.Embed(c.padded_vocab, c.d_model, dtype=self.dtype)
         self.metadata_embedding = nn.Embed(
             c.metadata_vocab_size, c.d_model, dtype=self.dtype
         )
@@ -218,7 +218,7 @@ class MambaLM(nn.Module):
             for i in range(c.n_layers)
         ]
         self.norm = nn.LayerNorm(dtype=self.dtype)
-        self.lm_head = nn.Dense(c.vocab_size, dtype=jnp.float32, name="lm_head")
+        self.lm_head = nn.Dense(c.padded_vocab, dtype=jnp.float32, name="lm_head")
 
     def __call__(self, tokens: jax.Array, meta: jax.Array, deterministic: bool = True):
         x = jnp.concatenate(
@@ -228,7 +228,7 @@ class MambaLM(nn.Module):
             # Reference quirk: NO residual between layers (mamba.py:32-33).
             x = layer(x) if not self.cfg.residual else x + layer(x)
         x = self.norm(x)
-        logits = self.lm_head(x.astype(jnp.float32))
+        logits = self.lm_head(x.astype(jnp.float32))[..., : self.cfg.vocab_size]
         return logits[:, meta.shape[1] :]
 
     def prefill(self, tokens: jax.Array, meta: jax.Array):
@@ -241,7 +241,7 @@ class MambaLM(nn.Module):
             x = y if not self.cfg.residual else x + y
             states.append(st)
         x = self.norm(x)
-        logits = self.lm_head(x.astype(jnp.float32))
+        logits = self.lm_head(x.astype(jnp.float32))[..., : self.cfg.vocab_size]
         return logits[:, meta.shape[1] :], tuple(states)
 
     def step(self, token: jax.Array, states: Tuple[LayerState, ...]):
@@ -253,5 +253,5 @@ class MambaLM(nn.Module):
             x = y if not self.cfg.residual else x + y
             new_states.append(st)
         x = self.norm(x)
-        logits = self.lm_head(x.astype(jnp.float32))
+        logits = self.lm_head(x.astype(jnp.float32))[..., : self.cfg.vocab_size]
         return logits, tuple(new_states)

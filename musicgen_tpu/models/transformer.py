@@ -165,7 +165,7 @@ class TransformerLM(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.token_embedding = nn.Embed(c.vocab_size, c.n_embd, dtype=self.dtype)
+        self.token_embedding = nn.Embed(c.padded_vocab, c.n_embd, dtype=self.dtype)
         self.metadata_embedding = nn.Embed(
             c.metadata_vocab_size, c.n_embd, dtype=self.dtype
         )
@@ -173,7 +173,7 @@ class TransformerLM(nn.Module):
             Block(c, dtype=self.dtype, name=f"block_{i}") for i in range(c.n_layer)
         ]
         self.ln_f = nn.LayerNorm(dtype=self.dtype)
-        self.lm_head = nn.Dense(c.vocab_size, dtype=jnp.float32, name="lm_head")
+        self.lm_head = nn.Dense(c.padded_vocab, dtype=jnp.float32, name="lm_head")
 
     def __call__(
         self, tokens: jax.Array, meta: jax.Array, deterministic: bool = True
@@ -186,7 +186,7 @@ class TransformerLM(nn.Module):
         for block in self.blocks:
             x = block(x, deterministic=deterministic)
         x = self.ln_f(x)
-        logits = self.lm_head(x.astype(jnp.float32))
+        logits = self.lm_head(x.astype(jnp.float32))[..., : self.cfg.vocab_size]
         return logits[:, -t:, :]  # drop meta positions (reference :164)
 
     def prefill(
@@ -214,7 +214,7 @@ class TransformerLM(nn.Module):
                 }
             caches.append(cache)
         x = self.ln_f(x)
-        logits = self.lm_head(x.astype(jnp.float32))
+        logits = self.lm_head(x.astype(jnp.float32))[..., : self.cfg.vocab_size]
         return logits[:, -t:, :], tuple(caches)
 
     def step(
@@ -232,5 +232,5 @@ class TransformerLM(nn.Module):
             x, cache = block.step(x, cache, slot, key_ages, rel_base)
             new_caches.append(cache)
         x = self.ln_f(x)
-        logits = self.lm_head(x.astype(jnp.float32))
+        logits = self.lm_head(x.astype(jnp.float32))[..., : self.cfg.vocab_size]
         return logits, tuple(new_caches)

@@ -395,7 +395,7 @@ class XLSTMLM(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.token_embedding = nn.Embed(c.vocab_size, c.embedding_dim, dtype=self.dtype)
+        self.token_embedding = nn.Embed(c.padded_vocab, c.embedding_dim, dtype=self.dtype)
         self.metadata_embedding = nn.Embed(
             c.metadata_vocab_size, c.embedding_dim, dtype=self.dtype
         )
@@ -404,14 +404,14 @@ class XLSTMLM(nn.Module):
             c.conv1d_kernel_size, c.qkv_proj_blocksize,
             c.mlstm_proj_factor, c.slstm_ff_proj_factor, dtype=self.dtype,
         )
-        self.lm_head = nn.Dense(c.vocab_size, dtype=jnp.float32, name="lm_head")
+        self.lm_head = nn.Dense(c.padded_vocab, dtype=jnp.float32, name="lm_head")
 
     def __call__(self, tokens: jax.Array, meta: jax.Array, deterministic: bool = True):
         x = jnp.concatenate(
             [self.metadata_embedding(meta), self.token_embedding(tokens)], axis=1
         )
         x = self.stack(x)
-        logits = self.lm_head(x.astype(jnp.float32))
+        logits = self.lm_head(x.astype(jnp.float32))[..., : self.cfg.vocab_size]
         return logits[:, meta.shape[1] :]
 
     def prefill(self, tokens: jax.Array, meta: jax.Array):
@@ -419,13 +419,13 @@ class XLSTMLM(nn.Module):
             [self.metadata_embedding(meta), self.token_embedding(tokens)], axis=1
         )
         x, states = self.stack.prefill(x)
-        logits = self.lm_head(x.astype(jnp.float32))
+        logits = self.lm_head(x.astype(jnp.float32))[..., : self.cfg.vocab_size]
         return logits[:, meta.shape[1] :], states
 
     def step(self, token: jax.Array, states):
         x = self.token_embedding(token)
         x, states = self.stack.step(x, states)
-        logits = self.lm_head(x.astype(jnp.float32))
+        logits = self.lm_head(x.astype(jnp.float32))[..., : self.cfg.vocab_size]
         return logits, states
 
 
@@ -439,7 +439,7 @@ class XLSTMClassifier(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.token_embedding = nn.Embed(c.vocab_size, c.embedding_dim, dtype=self.dtype)
+        self.token_embedding = nn.Embed(c.padded_vocab, c.embedding_dim, dtype=self.dtype)
         self.stack = XLSTMStack(
             c.embedding_dim, c.num_blocks, c.slstm_at, c.num_heads,
             c.conv1d_kernel_size, c.qkv_proj_blocksize,

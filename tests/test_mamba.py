@@ -97,8 +97,9 @@ def test_causal_conv1d_step_matches_full():
 
 
 def test_mamba_param_count_full_config():
-    """Exact parameter parity with the reference Mamba stack."""
-    model = MambaLM(MambaConfig())
+    """Exact parameter parity with the reference Mamba stack (vocab padding
+    disabled; padding exists only for MXU tiling / TP divisibility)."""
+    model = MambaLM(MambaConfig(vocab_pad_multiple=1))
     tokens = jnp.zeros((1, 8), jnp.int32)
     meta = jnp.zeros((1, NUM_META), jnp.int32)
     params = jax.eval_shape(
