@@ -1,0 +1,282 @@
+"""Gaussian diffusion core — JAX-native.
+
+Covers the reference's inference/inpainting diffusion
+(reference: diffusion/gaussian_diffusion.py:33-558: posterior math,
+LEARNED_RANGE variance interpolation, ancestral sampling with RePaint
+ground-truth injection, jump-schedule-driven progressive loop with `undo`
+renoising) AND supplies the `training_losses` path the reference copy
+references but never defines (respace.py:127-129; SURVEY.md §2.2 #29),
+so the diffusion workload actually trains here: epsilon-MSE + the
+variational-bound term for learned variances (bf16-safe, fp32 math).
+
+Everything is stateless/functional: schedule arrays live in a frozen
+`DiffusionSchedule`, samplers are pure functions usable under jit.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .schedule import named_betas
+
+
+class MeanType(enum.Enum):
+    EPSILON = "epsilon"  # model predicts noise (reference default)
+    X_START = "xstart"
+
+
+class VarType(enum.Enum):
+    FIXED_SMALL = "fixed_small"
+    FIXED_LARGE = "fixed_large"
+    LEARNED_RANGE = "learned_range"  # model outputs [mean_out, frac] channels
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionSchedule:
+    betas: np.ndarray  # (T,)
+
+    @classmethod
+    def named(cls, name: str, num_timesteps: int) -> "DiffusionSchedule":
+        return cls(named_betas(name, num_timesteps))
+
+    @property
+    def num_timesteps(self) -> int:
+        return len(self.betas)
+
+    # Derived arrays (all float64 numpy, cast at use sites).
+    @property
+    def alphas_cumprod(self) -> np.ndarray:
+        return np.cumprod(1.0 - self.betas)
+
+    @property
+    def alphas_cumprod_prev(self) -> np.ndarray:
+        return np.append(1.0, self.alphas_cumprod[:-1])
+
+    @property
+    def posterior_variance(self) -> np.ndarray:
+        return (
+            self.betas
+            * (1.0 - self.alphas_cumprod_prev)
+            / (1.0 - self.alphas_cumprod)
+        )
+
+    @property
+    def posterior_log_variance_clipped(self) -> np.ndarray:
+        pv = self.posterior_variance
+        return np.log(np.append(pv[1], pv[1:]))
+
+    @property
+    def posterior_mean_coef1(self) -> np.ndarray:
+        return (
+            self.betas
+            * np.sqrt(self.alphas_cumprod_prev)
+            / (1.0 - self.alphas_cumprod)
+        )
+
+    @property
+    def posterior_mean_coef2(self) -> np.ndarray:
+        return (
+            (1.0 - self.alphas_cumprod_prev)
+            * np.sqrt(1.0 - self.betas)
+            / (1.0 - self.alphas_cumprod)
+        )
+
+
+def _extract(arr: np.ndarray, t: jax.Array, ndim: int) -> jax.Array:
+    """Gather per-timestep coefficients, broadcast to x's rank
+    (reference gaussian_diffusion.py:545-558 `_extract_into_tensor`)."""
+    out = jnp.asarray(arr, jnp.float32)[t]
+    return out.reshape(out.shape + (1,) * (ndim - 1))
+
+
+ModelFn = Callable[[jax.Array, jax.Array], jax.Array]  # (x, t) -> output
+
+
+@dataclasses.dataclass(frozen=True)
+class GaussianDiffusion:
+    schedule: DiffusionSchedule
+    mean_type: MeanType = MeanType.EPSILON
+    var_type: VarType = VarType.LEARNED_RANGE
+    clip_denoised: bool = True
+
+    # ----- forward process -----
+
+    def q_sample(self, x_start, t, noise):
+        s = self.schedule
+        return (
+            _extract(np.sqrt(s.alphas_cumprod), t, x_start.ndim) * x_start
+            + _extract(np.sqrt(1.0 - s.alphas_cumprod), t, x_start.ndim) * noise
+        )
+
+    def q_posterior(self, x_start, x_t, t):
+        s = self.schedule
+        mean = (
+            _extract(s.posterior_mean_coef1, t, x_t.ndim) * x_start
+            + _extract(s.posterior_mean_coef2, t, x_t.ndim) * x_t
+        )
+        var = _extract(s.posterior_variance, t, x_t.ndim)
+        log_var = _extract(s.posterior_log_variance_clipped, t, x_t.ndim)
+        return mean, var, log_var
+
+    def undo(self, x_t, t, noise):
+        """One forward (renoising) step x_t -> x_{t+1} for RePaint jumps
+        (reference gaussian_diffusion.py:170-179)."""
+        beta = _extract(self.schedule.betas, t, x_t.ndim)
+        return jnp.sqrt(1.0 - beta) * x_t + jnp.sqrt(beta) * noise
+
+    # ----- reverse process -----
+
+    def _predict_xstart_from_eps(self, x_t, t, eps):
+        s = self.schedule
+        return (
+            _extract(np.sqrt(1.0 / s.alphas_cumprod), t, x_t.ndim) * x_t
+            - _extract(np.sqrt(1.0 / s.alphas_cumprod - 1.0), t, x_t.ndim) * eps
+        )
+
+    def p_mean_variance(self, model: ModelFn, x, t):
+        """Returns (mean, var, log_var, pred_xstart)
+        (reference gaussian_diffusion.py:208-288)."""
+        s = self.schedule
+        out = model(x, t).astype(jnp.float32)
+        c = x.shape[1]
+
+        if self.var_type == VarType.LEARNED_RANGE:
+            assert out.shape[1] == 2 * c, (out.shape, c)
+            out, frac_raw = jnp.split(out, 2, axis=1)
+            min_log = _extract(s.posterior_log_variance_clipped, t, x.ndim)
+            max_log = _extract(np.log(s.betas), t, x.ndim)
+            frac = (frac_raw + 1.0) / 2.0  # [-1,1] -> [0,1]
+            log_var = frac * max_log + (1.0 - frac) * min_log
+            var = jnp.exp(log_var)
+        elif self.var_type == VarType.FIXED_LARGE:
+            var = _extract(
+                np.append(s.posterior_variance[1], s.betas[1:]), t, x.ndim
+            )
+            log_var = jnp.log(var)
+        else:
+            var = _extract(s.posterior_variance, t, x.ndim)
+            log_var = _extract(s.posterior_log_variance_clipped, t, x.ndim)
+
+        if self.mean_type == MeanType.EPSILON:
+            pred_xstart = self._predict_xstart_from_eps(x, t, out)
+        else:
+            pred_xstart = out
+        if self.clip_denoised:
+            pred_xstart = jnp.clip(pred_xstart, -1.0, 1.0)
+        mean, _, _ = self.q_posterior(pred_xstart, x, t)
+        return mean, var, log_var, pred_xstart
+
+    def p_sample(
+        self,
+        model: ModelFn,
+        x,
+        t,
+        rng,
+        gt: Optional[jax.Array] = None,
+        gt_keep_mask: Optional[jax.Array] = None,
+    ):
+        """Ancestral step with optional RePaint ground-truth injection
+        (reference gaussian_diffusion.py:317-408 `inpa_inj_sched_prev`):
+        the known region is replaced by the ground truth renoised to the
+        SAME timestep before the reverse step."""
+        if gt is not None and gt_keep_mask is not None:
+            rng, noise_rng = jax.random.split(rng)
+            alpha_cum = _extract(self.schedule.alphas_cumprod, t, x.ndim)
+            gt_noise = jax.random.normal(noise_rng, x.shape, jnp.float32)
+            gt_weight = jnp.sqrt(alpha_cum)
+            noise_weight = jnp.sqrt(1.0 - alpha_cum)
+            weighed_gt = gt_weight * gt + noise_weight * gt_noise
+            x = gt_keep_mask * weighed_gt + (1.0 - gt_keep_mask) * x
+
+        mean, _, log_var, pred_xstart = self.p_mean_variance(model, x, t)
+        rng, step_rng = jax.random.split(rng)
+        noise = jax.random.normal(step_rng, x.shape, jnp.float32)
+        nonzero = (t != 0).astype(jnp.float32).reshape((-1,) + (1,) * (x.ndim - 1))
+        sample = mean + nonzero * jnp.exp(0.5 * log_var) * noise
+        return sample, pred_xstart
+
+    def p_sample_loop(
+        self,
+        model: ModelFn,
+        shape: Tuple[int, ...],
+        rng,
+        gt: Optional[jax.Array] = None,
+        gt_keep_mask: Optional[jax.Array] = None,
+        times: Optional[list] = None,
+        progress: bool = False,
+    ) -> jax.Array:
+        """Full reverse loop (reference gaussian_diffusion.py:410-543).
+
+        With `times` from schedule.get_schedule_jump, descending pairs run
+        p_sample and ascending pairs run `undo` renoising (RePaint). Without
+        `times`, plain T..0 ancestral sampling.
+        """
+        t_T = self.schedule.num_timesteps
+        if times is None:
+            times = list(range(t_T))[::-1] + [-1]
+        rng, init_rng = jax.random.split(rng)
+        x = jax.random.normal(init_rng, shape, jnp.float32)
+
+        sample_fn = jax.jit(
+            lambda x, t, key: self.p_sample(model, x, t, key, gt, gt_keep_mask)
+        )
+        undo_fn = jax.jit(
+            lambda x, t, key: self.undo(x, t, jax.random.normal(key, x.shape))
+        )
+        for t_last, t_cur in zip(times[:-1], times[1:]):
+            rng, step_rng = jax.random.split(rng)
+            if t_cur < t_last:  # reverse (denoise) step at t_last
+                t_vec = jnp.full((shape[0],), t_last, jnp.int32)
+                x, _ = sample_fn(x, t_vec, step_rng)
+            else:  # forward (renoise) jump
+                t_vec = jnp.full((shape[0],), t_last, jnp.int32)
+                x = undo_fn(x, t_vec, step_rng)
+        return x
+
+    # ----- training (missing from the reference; supplied here) -----
+
+    def training_losses(
+        self, model: ModelFn, x_start, t, rng
+    ) -> dict:
+        """epsilon-MSE plus (for LEARNED_RANGE) the variational-bound term
+        on the variance channels with a stop-gradient on the mean — the
+        standard improved-DDPM hybrid objective the reference's
+        `respace.py:127-129` expects to exist."""
+        noise = jax.random.normal(rng, x_start.shape, jnp.float32)
+        x_t = self.q_sample(x_start, t, noise)
+        out = model(x_t, t).astype(jnp.float32)
+        c = x_start.shape[1]
+        terms = {}
+
+        if self.var_type == VarType.LEARNED_RANGE:
+            eps_pred, frac_raw = jnp.split(out, 2, axis=1)
+            # Variational bound on the variance: KL(q_posterior || p) with
+            # frozen mean.
+            frozen_model_out = jnp.concatenate(
+                [jax.lax.stop_gradient(eps_pred), frac_raw], axis=1
+            )
+            mean, _, log_var, _ = self.p_mean_variance(
+                lambda x_, t_: frozen_model_out, x_t, t
+            )
+            true_mean, _, true_log_var = self.q_posterior(x_start, x_t, t)
+            kl = 0.5 * (
+                -1.0
+                + log_var
+                - true_log_var
+                + jnp.exp(true_log_var - log_var)
+                + (true_mean - mean) ** 2 * jnp.exp(-log_var)
+            )
+            terms["vb"] = jnp.mean(kl) / np.log(2.0)
+        else:
+            eps_pred = out
+            terms["vb"] = jnp.asarray(0.0)
+
+        target = noise if self.mean_type == MeanType.EPSILON else x_start
+        terms["mse"] = jnp.mean((target - eps_pred) ** 2)
+        terms["loss"] = terms["mse"] + terms["vb"]
+        return terms
