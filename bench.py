@@ -51,22 +51,24 @@ def main() -> None:
     )
     params = model.init(jax.random.PRNGKey(0), prompt[:, :16], meta)
 
-    prefill, step = make_sampler(model, params, "mamba", block_len=prompt_len)
+    prefill, step = make_sampler(model, "mamba", block_len=prompt_len)
     scfg = SamplerConfig(num_tokens=num_tokens, greedy=False)
 
     @jax.jit
-    def run(prompt, meta, key):
-        init_logits, state = prefill(prompt, meta)
-        return sample_tokens(step, init_logits, state, prompt, scfg, key)
+    def run(params, prompt, meta, key):
+        init_logits, state = prefill(params, prompt, meta)
+        return sample_tokens(step, params, init_logits, state, prompt, scfg, key)
 
-    # Warmup/compile.
-    toks = run(prompt, meta, jax.random.PRNGKey(0))
-    toks.block_until_ready()
+    # Warmup/compile. NB: np.asarray (device->host fetch) is the sync point;
+    # block_until_ready does not reliably wait on the experimental axon
+    # remote platform.
+    np.asarray(run(params, prompt, meta, jax.random.PRNGKey(0)))
 
+    reps = 3
     t0 = time.perf_counter()
-    toks = run(prompt, meta, jax.random.PRNGKey(1))
-    toks.block_until_ready()
-    elapsed = time.perf_counter() - t0
+    for i in range(reps):
+        toks = np.asarray(run(params, prompt, meta, jax.random.PRNGKey(1 + i)))
+    elapsed = (time.perf_counter() - t0) / reps
 
     per_seq = num_tokens / elapsed
     print(

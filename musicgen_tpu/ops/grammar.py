@@ -22,36 +22,39 @@ faithfully (SURVEY.md "Hard parts").
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..config import VOCAB, VocabLayout
 
 
-@functools.lru_cache(maxsize=4)
-def _grammar_mask_np(layout: VocabLayout = VOCAB) -> np.ndarray:
+def grammar_mask(layout: VocabLayout = VOCAB) -> jax.Array:
+    """(5, vocab) float32 allowed-next-token weights.
+
+    Built from iota arithmetic (NOT a dense literal) so that jitted programs
+    using it stay small — this environment ships compiled modules over an
+    HTTP boundary with a strict size limit, and a 5x17914 dense constant
+    alone blows past it.
+    """
     d = layout.disc
     v = layout.vocab_size
-    mask = np.zeros((5, v), dtype=np.float32)
+    ids = jnp.arange(v)  # lowers to iota
 
-    # Row i applies when the previous token falls in field-bucket i.
-    mask[0, layout.dyn_start : layout.length_start - 1] = 1.0
-    mask[1, layout.length_start : layout.time_start - 1] = np.linspace(
-        1.0, 3.0, d.length - 1, dtype=np.float64
-    ).astype(np.float32)
-    mask[2, layout.time_start : layout.tempo_start - 1] = 1.0
-    mask[2, layout.tempo_start : v] = 1.0  # length may also be followed by tempo
-    mask[3, layout.tempo_start : v] = 1.0
-    mask[4, layout.pitch_start : layout.dyn_start - 1] = 10.0  # pitch boost x10
-    return mask
+    def in_range(lo, hi):
+        return ((ids >= lo) & (ids < hi)).astype(jnp.float32)
 
-
-def grammar_mask(layout: VocabLayout = VOCAB) -> jax.Array:
-    """(5, vocab) float32 allowed-next-token weights, constant."""
-    return jnp.asarray(_grammar_mask_np(layout))
+    row0 = in_range(layout.dyn_start, layout.length_start - 1)
+    # linspace(1, 3, d.length - 1) over the length range (last token excluded)
+    lin = 1.0 + 2.0 * (ids - layout.length_start).astype(jnp.float32) / float(
+        d.length - 2
+    )
+    row1 = in_range(layout.length_start, layout.time_start - 1) * lin
+    row2 = in_range(layout.time_start, layout.tempo_start - 1) + in_range(
+        layout.tempo_start, v
+    )
+    row3 = in_range(layout.tempo_start, v)
+    row4 = in_range(layout.pitch_start, layout.dyn_start - 1) * 10.0
+    return jnp.stack([row0, row1, row2, row3, row4])
 
 
 def field_bucket(tokens: jax.Array, layout: VocabLayout = VOCAB) -> jax.Array:

@@ -196,12 +196,13 @@ def _pick_next(
 # Main sampling loop
 # ---------------------------------------------------------------------------
 
-StepFn = Callable[[jax.Array, Any, jax.Array], Tuple[jax.Array, Any]]
-# step_fn(token (B,), model_state, stream_idx scalar) -> (logits (B,V), state)
+StepFn = Callable[[Any, jax.Array, Any, jax.Array], Tuple[jax.Array, Any]]
+# step_fn(params, token (B,), model_state, stream_idx) -> (logits (B,V), state)
 
 
 def sample_tokens(
     step_fn: StepFn,
+    params: Any,
     init_logits: jax.Array,  # (B, V) logits predicting the first new token
     init_model_state: Any,
     prompt: jax.Array,  # (B, P) int32
@@ -226,7 +227,7 @@ def sample_tokens(
         k = _sample_k(last, k_key, layout)
         next_tok = _pick_next(w, k, pick_key, cfg.max_topk, cfg.greedy)
         pen = push_token(pen, next_tok, layout)
-        logits, model_state = step_fn(next_tok, model_state, stream_idx)
+        logits, model_state = step_fn(params, next_tok, model_state, stream_idx)
         return (
             (logits, model_state, pen, next_tok, stream_idx + 1),
             next_tok,
@@ -242,24 +243,28 @@ def sample_tokens(
 # Model adapters
 # ---------------------------------------------------------------------------
 
-def make_sampler(model, params, kind: str, block_len: int):
+def make_sampler(model, kind: str, block_len: int):
     """Returns (prefill_fn, step_fn) for `sample_tokens`.
 
     kind: 'transformer' | 'mamba' | 'xlstm'. The transformer step threads the
     ring-KV geometry (sample.cache); recurrent models carry pure state.
+
+    Params are EXPLICIT arguments (not closed over): closed-over arrays get
+    inlined as dense HLO constants, which breaks this environment's
+    size-limited remote-compile path and bloats compile time.
     """
     from .cache import step_geometry, token_slot  # local import, no cycle
 
     if kind == "transformer":
         from ..models.transformer import TransformerLM
 
-        def prefill(tokens, meta):
+        def prefill(params, tokens, meta):
             logits, caches = model.apply(
                 params, tokens, meta, method=TransformerLM.prefill
             )
             return logits[:, -1, :], caches
 
-        def step(token, caches, stream_idx):
+        def step(params, token, caches, stream_idx):
             total = stream_idx + 1
             ages, rel_base = step_geometry(total, block_len)
             slot = token_slot(stream_idx, block_len)
@@ -273,11 +278,11 @@ def make_sampler(model, params, kind: str, block_len: int):
     if kind == "mamba":
         from ..models.mamba import MambaLM
 
-        def prefill(tokens, meta):
+        def prefill(params, tokens, meta):
             logits, states = model.apply(params, tokens, meta, method=MambaLM.prefill)
             return logits[:, -1, :], states
 
-        def step(token, states, stream_idx):
+        def step(params, token, states, stream_idx):
             return model.apply(params, token, states, method=MambaLM.step)
 
         return prefill, step
@@ -285,11 +290,11 @@ def make_sampler(model, params, kind: str, block_len: int):
     if kind == "xlstm":
         from ..models.xlstm import XLSTMLM
 
-        def prefill(tokens, meta):
+        def prefill(params, tokens, meta):
             logits, states = model.apply(params, tokens, meta, method=XLSTMLM.prefill)
             return logits[:, -1, :], states
 
-        def step(token, states, stream_idx):
+        def step(params, token, states, stream_idx):
             return model.apply(params, token, states, method=XLSTMLM.step)
 
         return prefill, step
@@ -311,18 +316,18 @@ def generate(
 ) -> jax.Array:
     """End-to-end conditioned generation (reference scripts/generate.py
     `generate` equivalent). Returns (B, P + num_tokens) full streams."""
-    prefill, step = make_sampler(model, params, kind, block_len)
+    prefill, step = make_sampler(model, kind, block_len)
     cfg = SamplerConfig(num_tokens=num_tokens, ring_size=max(block_len, 2048),
                         greedy=greedy)
 
-    def run(prompt, meta, rng):
-        init_logits, state = prefill(prompt, meta)
-        toks = sample_tokens(step, init_logits, state, prompt, cfg, rng)
+    def run(params, prompt, meta, rng):
+        init_logits, state = prefill(params, prompt, meta)
+        toks = sample_tokens(step, params, init_logits, state, prompt, cfg, rng)
         return jnp.concatenate([prompt, toks], axis=1)
 
     if jit:
         run = jax.jit(run)
-    return run(prompt, meta, rng)
+    return run(params, prompt, meta, rng)
 
 
 def reference_windowed_generate(

@@ -97,13 +97,13 @@ def _mamba_setup(prompt_len=24, batch=2):
 
 def test_greedy_sampling_deterministic_and_grammatical():
     model, params, prompt, meta = _mamba_setup()
-    prefill, step = make_sampler(model, params, "mamba", block_len=64)
+    prefill, step = make_sampler(model, "mamba", block_len=64)
     cfg = SamplerConfig(num_tokens=40, greedy=True)
 
-    init_logits, state = prefill(prompt, meta)
-    toks1 = sample_tokens(step, init_logits, state, prompt, cfg, jax.random.PRNGKey(1))
-    init_logits, state = prefill(prompt, meta)
-    toks2 = sample_tokens(step, init_logits, state, prompt, cfg, jax.random.PRNGKey(2))
+    init_logits, state = prefill(params, prompt, meta)
+    toks1 = sample_tokens(step, params, init_logits, state, prompt, cfg, jax.random.PRNGKey(1))
+    init_logits, state = prefill(params, prompt, meta)
+    toks2 = sample_tokens(step, params, init_logits, state, prompt, cfg, jax.random.PRNGKey(2))
     # Greedy is deterministic: different RNG seeds give identical streams.
     np.testing.assert_array_equal(np.asarray(toks1), np.asarray(toks2))
 
@@ -123,12 +123,12 @@ def test_greedy_sampling_deterministic_and_grammatical():
 
 def test_stochastic_sampling_reproducible_and_grammatical():
     model, params, prompt, meta = _mamba_setup()
-    prefill, step = make_sampler(model, params, "mamba", block_len=64)
+    prefill, step = make_sampler(model, "mamba", block_len=64)
     cfg = SamplerConfig(num_tokens=30, greedy=False)
-    init_logits, state = prefill(prompt, meta)
-    t1 = sample_tokens(step, init_logits, state, prompt, cfg, jax.random.PRNGKey(7))
-    init_logits, state = prefill(prompt, meta)
-    t2 = sample_tokens(step, init_logits, state, prompt, cfg, jax.random.PRNGKey(7))
+    init_logits, state = prefill(params, prompt, meta)
+    t1 = sample_tokens(step, params, init_logits, state, prompt, cfg, jax.random.PRNGKey(7))
+    init_logits, state = prefill(params, prompt, meta)
+    t2 = sample_tokens(step, params, init_logits, state, prompt, cfg, jax.random.PRNGKey(7))
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))  # same seed
 
     allowed = {0: {1}, 1: {2}, 2: {3, 4}, 3: {4}, 4: {0}}
@@ -147,10 +147,10 @@ def test_cached_equals_reference_windowed_before_truncation():
     n_new = 12
     block_len = 64  # window never truncates: 16 + 12 < 64
 
-    prefill, step = make_sampler(model, params, "mamba", block_len=block_len)
+    prefill, step = make_sampler(model, "mamba", block_len=block_len)
     cfg = SamplerConfig(num_tokens=n_new, greedy=True)
-    init_logits, state = prefill(prompt, meta)
-    fast = sample_tokens(step, init_logits, state, prompt, cfg, jax.random.PRNGKey(0))
+    init_logits, state = prefill(params, prompt, meta)
+    fast = sample_tokens(step, params, init_logits, state, prompt, cfg, jax.random.PRNGKey(0))
     fast_stream = np.concatenate([np.asarray(prompt), np.asarray(fast)], axis=1)
 
     ref_stream = np.asarray(
