@@ -156,6 +156,9 @@ class TransformerConfig:
     vocab_size: int = VOCAB_SIZE
     metadata_vocab_size: int = DEFAULT_METADATA_VOCAB_SIZE
     vocab_pad_multiple: int = VOCAB_PAD_MULTIPLE
+    # 'xla' (differentiable, training) or 'flash' (fused Pallas forward,
+    # used automatically for prefill/inference when set).
+    attention_impl: str = "xla"
 
     @property
     def seq_len(self) -> int:  # meta prefix + tokens

@@ -78,7 +78,14 @@ class RelPosSelfAttention(nn.Module):
         c = self.cfg
         q, k, v = self._split(self.q_proj(x)), self._split(self.k_proj(x)), self._split(self.v_proj(x))
         scale = float(c.n_embd) ** -0.5
-        out = relpos_attention(q, k, v, self.rel_pos_emb.astype(self.dtype), scale)
+        if c.attention_impl == "flash":
+            from ..ops.pallas_attention import flash_relpos_attention
+
+            out = flash_relpos_attention(
+                q, k, v, self.rel_pos_emb.astype(self.dtype), scale
+            )
+        else:
+            out = relpos_attention(q, k, v, self.rel_pos_emb.astype(self.dtype), scale)
         b, h, t, d = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, t, h * d)
         return self.out_proj(out), {"k": k, "v": v}

@@ -57,9 +57,9 @@ def _flash_relpos_kernel(
 
     @pl.when(tile_needed)
     def _compute():
-        q = q_ref[:].astype(jnp.float32)  # (Bq, D)
-        k = k_ref[:].astype(jnp.float32)  # (Bk, D)
-        v = v_ref[:].astype(jnp.float32)  # (Bk, D)
+        q = q_ref[0].astype(jnp.float32)  # (Bq, D)
+        k = k_ref[0].astype(jnp.float32)  # (Bk, D)
+        v = v_ref[0].astype(jnp.float32)  # (Bk, D)
 
         ac = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -67,20 +67,26 @@ def _flash_relpos_kernel(
 
         # BD band: rel rows for rel-index base + (c - r), c in [0,Bk),
         # r in [0,Bq). base = (T-1) + k_start - q_start. rel_ref is padded by
-        # block_q - 1 rows at the FRONT (and >= block_k at the back), so the
-        # band start below is always in range.
-        band_len = block_q + block_k - 1
+        # block_q - 1 rows at the FRONT (and block_k at the back); in padded
+        # coordinates the band [base-(Bq-1), base+Bk-1] starts at `base`
+        # (always in range for non-skipped tiles: k_start <= q_start+Bq-1).
+        # Band length padded to Bq+Bk (instead of the minimal Bq+Bk-1) to
+        # keep lane shapes 128-aligned for Mosaic.
+        band_len = block_q + block_k
         base = (seq_len - 1) + k_start - q_start
-        band_start = base - (block_q - 1) + (block_q - 1)  # + front padding
-        band = rel_ref[pl.ds(band_start, band_len), :].astype(jnp.float32)
+        band = rel_ref[0, pl.ds(base, band_len), :].astype(jnp.float32)
         p = jax.lax.dot_general(
             q, band, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (Bq, band_len)
-        # Shear: bd[r, c] = p[r, c + (Bq - 1) - r]
-        p_pad = jnp.pad(p, ((0, 0), (0, 1)))  # (Bq, band_len + 1) = (Bq, Bq+Bk)
-        flat = p_pad.reshape(-1)
-        flat2 = jax.lax.dynamic_slice(flat, (block_q - 1,), (block_q * band_len,))
-        bd = flat2.reshape(block_q, band_len)[:, :block_k]
+
+        # Shear: bd[r, c] = p[r, c + (Bq - 1) - r]. TPU's strided rotate does
+        # this in one op: right-rotate row r by (shift + r) with
+        # shift = -(Bq-1) mod band_len, so the rotated index is
+        # (c - shift - r) mod L = c + (Bq-1) - r (never wraps into the used
+        # columns: c + Bq-1 - r ranges [0, band_len-1]).
+        shear_shift = (-(block_q - 1)) % band_len
+        bd = pltpu.roll(p, shift=shear_shift, axis=1, stride=1, stride_axis=0)
+        bd = bd[:, :block_k]
 
         s = (ac + bd) * scale
 
@@ -105,7 +111,7 @@ def _flash_relpos_kernel(
 
     @pl.when(kj == nk - 1)
     def _finalize():
-        o_ref[:] = (acc_scratch[:] / l_scratch[:]).astype(o_ref.dtype)
+        o_ref[0] = (acc_scratch[:] / l_scratch[:]).astype(o_ref.dtype)
 
 
 def flash_relpos_attention(
@@ -117,6 +123,7 @@ def flash_relpos_attention(
     n_meta: int = NUM_META,
     block_q: int = 128,
     block_k: int = 128,
+    interpret: bool = False,
 ) -> jax.Array:
     """Drop-in replacement for ops.attention.relpos_attention (forward)."""
     b, h, t, d = q.shape
@@ -128,9 +135,11 @@ def flash_relpos_attention(
         q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
         k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        # rel rows are distance-indexed from the END (row T-1-d for distance
+        # d), so padding must go at the FRONT to keep distances aligned.
         out = flash_relpos_attention(
-            q, k, v, jnp.pad(rel_emb, ((0, 0), (0, pad), (0, 0))),
-            scale, n_meta, block_q, block_k,
+            q, k, v, jnp.pad(rel_emb, ((0, 0), (pad, 0), (0, 0))),
+            scale, n_meta, block_q, block_k, interpret,
         )
         return out[:, :, :t, :]
 
@@ -138,9 +147,10 @@ def flash_relpos_attention(
     qf = q.reshape(b * h, t, d)
     kf = k.reshape(b * h, t, d)
     vf = v.reshape(b * h, t, d)
-    # Pad rel rows: block_q-1 zeros at the front, block_k at the back, so
-    # every band slice is in range. Index map selects the head's slab.
-    rel_padded = jnp.pad(rel_emb, ((0, 0), (block_q - 1, block_k), (0, 0)))
+    # Pad rel rows: block_q-1 zeros at the front and block_q+block_k at the
+    # back, so every band slice (length Bq+Bk starting at `base` <= T+Bq-2 in
+    # padded coords) stays in range. Index map selects the head's slab.
+    rel_padded = jnp.pad(rel_emb, ((0, 0), (block_q - 1, block_q + block_k), (0, 0)))
     rel_rows = rel_padded.shape[1]
 
     grid = (b * h, t // block_q, t // block_k)
@@ -168,5 +178,6 @@ def flash_relpos_attention(
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
+        interpret=interpret,
     )(qf, kf, vf, rel_padded)
     return out.reshape(b, h, t, d)

@@ -1,0 +1,350 @@
+// Native MIDI -> event-token tokenizer (corpus-preprocessing hot path).
+//
+// C++ counterpart of musicgen_tpu/midi/{smf,codec}.py: parses a Standard
+// MIDI File, extracts deduplicated onset-sorted notes (drums dropped, FIFO
+// note-off matching, per-onset tempo lookup), quantizes onto the 64-per-beat
+// grid and emits the reference token stream
+// [pitch + 128*channel, dyn, length, (dtime if changed), tempo]
+// over the 17,914-token vocabulary (reference semantics:
+// processing/processing.py:57-152). The reference preprocesses thousands of
+// files through pretty_midi in Python (processing/processing.py:24-55);
+// this runs the same pipeline ~40x faster for bulk corpus builds.
+//
+// Exposed via a C ABI for ctypes (musicgen_tpu/midi/native.py):
+//   int64_t midi_tokenize(const uint8_t* data, int64_t len,
+//                         int64_t* out, int64_t out_cap,
+//                         int64_t min_notes);
+// Returns the token count, 0 if the piece has < min_notes notes, or a
+// negative error code. Exact parity with the Python codec is enforced by
+// tests/test_native_tokenizer.py.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <map>
+#include <unordered_set>
+#include <vector>
+
+namespace {
+
+constexpr int kPitchBins = 128;
+constexpr int kChannelBins = 129;
+constexpr int kDynBins = 128;
+constexpr int kLengthBins = 512;
+constexpr int kTimeBins = 512;
+constexpr int kTempoBins = 250;
+constexpr int kDynStart = kPitchBins * kChannelBins;       // 16512
+constexpr int kLengthStart = kDynStart + kDynBins;         // 16640
+constexpr int kTimeStart = kLengthStart + kLengthBins;     // 17152
+constexpr int kTempoStart = kTimeStart + kTimeBins;        // 17664
+constexpr int kResPerBeat = 64;
+constexpr double kFloorSnapEps = 1e-2;  // matches codec._floor_snap
+
+struct Note {
+  int pitch;
+  double start;   // seconds
+  double end;     // seconds
+  int velocity;
+  int program;    // "channel" in codec terms
+  long tempo;     // rounded bpm at onset
+};
+
+struct Reader {
+  const uint8_t* p;
+  const uint8_t* end;
+  bool ok = true;
+
+  uint32_t u32() {
+    if (end - p < 4) { ok = false; return 0; }
+    uint32_t v = (uint32_t(p[0]) << 24) | (uint32_t(p[1]) << 16) |
+                 (uint32_t(p[2]) << 8) | uint32_t(p[3]);
+    p += 4;
+    return v;
+  }
+  uint16_t u16() {
+    if (end - p < 2) { ok = false; return 0; }
+    uint16_t v = (uint16_t(p[0]) << 8) | uint16_t(p[1]);
+    p += 2;
+    return v;
+  }
+  uint8_t u8() {
+    if (p >= end) { ok = false; return 0; }
+    return *p++;
+  }
+  uint32_t vlq() {
+    uint32_t v = 0;
+    for (int i = 0; i < 5; ++i) {
+      uint8_t b = u8();
+      if (!ok) return 0;
+      v = (v << 7) | (b & 0x7F);
+      if (!(b & 0x80)) break;
+    }
+    return v;
+  }
+  void skip(size_t n) {
+    if (size_t(end - p) < n) { ok = false; return; }
+    p += n;
+  }
+};
+
+struct TempoEvent {
+  long tick;
+  uint32_t us_per_qn;
+};
+
+struct RawNoteOn {
+  long tick;
+  int velocity;
+  int program;
+};
+
+long floor_snap(double x) {
+  double f = std::floor(x);
+  if (x - f > 1.0 - kFloorSnapEps) return long(f) + 1;
+  return long(f);
+}
+
+int64_t tokenize(const uint8_t* data, int64_t len, int64_t* out,
+                 int64_t out_cap, int64_t min_notes) {
+  Reader r{data, data + len};
+  if (len < 14 || std::memcmp(data, "MThd", 4) != 0) return -1;
+  r.skip(4);
+  uint32_t hlen = r.u32();
+  /*fmt*/ r.u16();
+  uint16_t ntracks = r.u16();
+  uint16_t division = r.u16();
+  if (!r.ok || (division & 0x8000)) return -2;  // SMPTE unsupported
+  const double ppq = double(division);
+  r.p = data + 8 + hlen;
+
+  std::vector<TempoEvent> tempos;
+  struct NoteEvent { long tick; int track; int channel; int kind; int a; int b; };
+  // kind: 0 = off, 1 = on, 2 = program change
+  std::vector<NoteEvent> events;
+  events.reserve(4096);
+
+  for (int t = 0; t < ntracks && r.ok; ++t) {
+    if (size_t(r.end - r.p) < 8 || std::memcmp(r.p, "MTrk", 4) != 0) {
+      if (size_t(r.end - r.p) < 8) break;
+      r.skip(4);
+      uint32_t clen = r.u32();
+      r.skip(clen);
+      continue;
+    }
+    r.skip(4);
+    uint32_t clen = r.u32();
+    const uint8_t* track_end = r.p + clen;
+    if (track_end > r.end) return -3;
+    long tick = 0;
+    uint8_t running = 0;
+    while (r.p < track_end && r.ok) {
+      tick += long(r.vlq());
+      uint8_t status = *r.p;
+      if (status & 0x80) {
+        ++r.p;
+        if (status < 0xF0) running = status;
+      } else {
+        if (!running) return -4;
+        status = running;
+      }
+      if (status == 0xFF) {
+        uint8_t meta = r.u8();
+        uint32_t mlen = r.vlq();
+        if (meta == 0x51 && mlen == 3) {
+          uint32_t us = (uint32_t(r.p[0]) << 16) | (uint32_t(r.p[1]) << 8) |
+                        uint32_t(r.p[2]);
+          tempos.push_back({tick, us});
+          r.skip(3);
+        } else {
+          r.skip(mlen);
+          if (meta == 0x2F) break;  // end of track
+        }
+      } else if (status == 0xF0 || status == 0xF7) {
+        uint32_t slen = r.vlq();
+        r.skip(slen);
+      } else {
+        int kind_hi = status & 0xF0;
+        int channel = status & 0x0F;
+        if (kind_hi == 0xC0 || kind_hi == 0xD0) {
+          int a = r.u8();
+          if (kind_hi == 0xC0)
+            events.push_back({tick, t, channel, 2, a, 0});
+        } else {
+          int a = r.u8();
+          int b = r.u8();
+          if (kind_hi == 0x90 && b > 0)
+            events.push_back({tick, t, channel, 1, a, b});
+          else if (kind_hi == 0x80 || (kind_hi == 0x90 && b == 0))
+            events.push_back({tick, t, channel, 0, a, b});
+        }
+      }
+    }
+    r.p = track_end;
+  }
+  if (!r.ok) return -5;
+
+  // Tempo map -> tick->seconds. Default 120 bpm; last event at a tick wins.
+  std::stable_sort(tempos.begin(), tempos.end(),
+                   [](const TempoEvent& a, const TempoEvent& b) {
+                     return a.tick < b.tick;
+                   });
+  std::vector<TempoEvent> tmap;
+  if (tempos.empty() || tempos.front().tick != 0)
+    tmap.push_back({0, 500000});
+  for (const auto& e : tempos) {
+    if (!tmap.empty() && tmap.back().tick == e.tick)
+      tmap.back().us_per_qn = e.us_per_qn;
+    else
+      tmap.push_back(e);
+  }
+  std::vector<double> tmap_sec(tmap.size(), 0.0);
+  for (size_t i = 1; i < tmap.size(); ++i) {
+    tmap_sec[i] = tmap_sec[i - 1] + double(tmap[i].tick - tmap[i - 1].tick) *
+                                        double(tmap[i - 1].us_per_qn) /
+                                        (1e6 * ppq);
+  }
+  auto tick_to_sec = [&](long tick) {
+    size_t i = 0;
+    while (i + 1 < tmap.size() && tmap[i + 1].tick <= tick) ++i;
+    return tmap_sec[i] +
+           double(tick - tmap[i].tick) * double(tmap[i].us_per_qn) / (1e6 * ppq);
+  };
+  auto bpm_at_sec = [&](double sec) {
+    size_t i = 0;
+    while (i + 1 < tmap.size() && tmap_sec[i + 1] <= sec) ++i;
+    return 60e6 / double(tmap[i].us_per_qn);
+  };
+
+  // Per (track, channel): program state + FIFO open-note matching.
+  std::stable_sort(events.begin(), events.end(),
+                   [](const NoteEvent& a, const NoteEvent& b) {
+                     if (a.track != b.track) return a.track < b.track;
+                     return false;  // preserve in-track order
+                   });
+  std::vector<Note> notes;
+  notes.reserve(events.size() / 2);
+  int program[64][16];
+  std::memset(program, 0, sizeof(program));
+  // open notes keyed by (track, channel, pitch)
+  std::map<std::tuple<int, int, int>, std::vector<RawNoteOn>> open;
+  for (const auto& e : events) {
+    if (e.kind == 2) {
+      if (e.track < 64) program[e.track][e.channel] = e.a;
+      continue;
+    }
+    if (e.channel == 9) continue;  // drums dropped (processing.py:66-69)
+    auto key = std::make_tuple(e.track, e.channel, e.a);
+    if (e.kind == 1) {
+      int prog = e.track < 64 ? program[e.track][e.channel] : 0;
+      open[key].push_back({e.tick, e.b, prog});
+    } else {
+      auto it = open.find(key);
+      if (it == open.end() || it->second.empty()) continue;
+      // FIFO: close the oldest open note not started on this tick.
+      auto& stack = it->second;
+      size_t idx = 0;
+      while (idx < stack.size() && stack[idx].tick == e.tick) ++idx;
+      if (idx == stack.size()) continue;
+      RawNoteOn on = stack[idx];
+      stack.erase(stack.begin() + idx);
+      double start_s = tick_to_sec(on.tick);
+      double end_s = tick_to_sec(e.tick);
+      notes.push_back({e.a, start_s, end_s, on.velocity, on.program,
+                       std::lround(bpm_at_sec(start_s))});
+    }
+  }
+
+  // Dedup ignoring tempo (note.py:14-25), then canonical onset sort
+  // (matching codec.extract_midi's deterministic tie-break).
+  struct KeyHash {
+    size_t operator()(const std::tuple<int, long, long, int, int>& k) const {
+      auto [a, b, c, d, e] = k;
+      size_t h = std::hash<long>()(b * 1000003 + c);
+      h ^= std::hash<int>()(a * 131 + d * 31 + e) + 0x9e3779b97f4a7c15ull +
+           (h << 6) + (h >> 2);
+      return h;
+    }
+  };
+  std::unordered_set<std::tuple<int, long, long, int, int>, KeyHash> seen;
+  std::vector<Note> unique;
+  unique.reserve(notes.size());
+  for (const auto& n : notes) {
+    // Times keyed at full double precision via bit patterns.
+    long sb, eb;
+    double s = n.start, e2 = n.end;
+    std::memcpy(&sb, &s, 8);
+    std::memcpy(&eb, &e2, 8);
+    auto key = std::make_tuple(n.pitch, sb, eb, n.velocity, n.program);
+    if (!seen.insert(key).second) continue;
+    unique.push_back(n);
+  }
+  std::stable_sort(unique.begin(), unique.end(),
+                   [](const Note& a, const Note& b) {
+                     if (a.start != b.start) return a.start < b.start;
+                     if (a.program != b.program) return a.program < b.program;
+                     if (a.pitch != b.pitch) return a.pitch < b.pitch;
+                     if (a.velocity != b.velocity) return a.velocity < b.velocity;
+                     return a.end < b.end;
+                   });
+
+  if (int64_t(unique.size()) < min_notes) return 0;
+
+  // adjust_note_time (processing.py:111-126): beat-grid quantization using
+  // the PREVIOUS note's tempo.
+  std::vector<long> gstart(unique.size()), gend(unique.size());
+  {
+    double current_beats = 0.0, prev_time = 0.0;
+    double prev_tempo = double(unique.empty() ? 120 : unique[0].tempo);
+    for (size_t i = 0; i < unique.size(); ++i) {
+      const Note& n = unique[i];
+      double res = 60.0 / prev_tempo / kResPerBeat;
+      current_beats += (n.start - prev_time) / res;
+      double future_beats = current_beats + (n.end - n.start) / res;
+      prev_time = n.start;
+      prev_tempo = double(n.tempo);
+      long s = floor_snap(current_beats);
+      long e = floor_snap(future_beats);
+      gstart[i] = s;
+      gend[i] = (e == s) ? s + 1 : e;
+    }
+  }
+
+  // encode (processing.py:129-152)
+  int64_t count = 0;
+  long time_prev = 0;
+  long time_delta_prev = 0;
+  auto push = [&](long v) {
+    if (count < out_cap) out[count] = v;
+    ++count;
+  };
+  for (size_t i = 0; i < unique.size(); ++i) {
+    const Note& m = unique[i];
+    long pitch = std::min<long>(m.pitch + long(m.program) * kPitchBins,
+                                long(kPitchBins) * kChannelBins - 1);
+    long dyn = kDynStart + std::min<long>(m.velocity, kDynBins - 1);
+    long length = kLengthStart + std::min<long>(gend[i] - gstart[i], kLengthBins - 1);
+    long tdelta = kTimeStart + std::min<long>(gstart[i] - time_prev, kTimeBins - 1);
+    long tempo = kTempoStart + std::min<long>(m.tempo, kTempoBins - 1);
+    push(pitch);
+    push(dyn);
+    push(length);
+    if (time_delta_prev != tdelta) push(tdelta);
+    push(tempo);
+    time_prev = gstart[i];
+    time_delta_prev = tdelta;
+  }
+  if (count > out_cap) return -6;  // caller buffer too small
+  return count;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t midi_tokenize(const uint8_t* data, int64_t len, int64_t* out,
+                      int64_t out_cap, int64_t min_notes) {
+  return tokenize(data, len, out, out_cap, min_notes);
+}
+
+}  // extern "C"

@@ -1,0 +1,47 @@
+"""Pallas flash rel-pos attention vs the XLA truth oracle (interpret mode on
+CPU; the driver/TPU runs it compiled)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from musicgen_tpu.ops.attention import relpos_attention
+from musicgen_tpu.ops.pallas_attention import flash_relpos_attention
+
+
+def _inputs(rng, b=1, h=2, t=256, d=128):
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    rel = jnp.asarray(rng.standard_normal((h, t, d)), jnp.float32)
+    return q, k, v, rel
+
+
+@pytest.mark.parametrize("t", [256, 384])
+def test_flash_matches_xla(t):
+    rng = np.random.default_rng(0)
+    q, k, v, rel = _inputs(rng, t=t)
+    scale = 0.03125
+    ref = relpos_attention(q, k, v, rel, scale)
+    got = flash_relpos_attention(q, k, v, rel, scale, block_q=128, block_k=128,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_flash_unaligned_t():
+    rng = np.random.default_rng(1)
+    q, k, v, rel = _inputs(rng, t=200, d=128)
+    scale = 0.1
+    ref = relpos_attention(q, k, v, rel, scale)
+    got = flash_relpos_attention(q, k, v, rel, scale, block_q=128, block_k=128,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_flash_multihead_batch():
+    rng = np.random.default_rng(2)
+    q, k, v, rel = _inputs(rng, b=2, h=3, t=256, d=128)
+    scale = 0.05
+    ref = relpos_attention(q, k, v, rel, scale)
+    got = flash_relpos_attention(q, k, v, rel, scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
