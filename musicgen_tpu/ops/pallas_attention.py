@@ -57,9 +57,11 @@ def _flash_relpos_kernel(
 
     @pl.when(tile_needed)
     def _compute():
-        q = q_ref[0].astype(jnp.float32)  # (Bq, D)
-        k = k_ref[0].astype(jnp.float32)  # (Bk, D)
-        v = v_ref[0].astype(jnp.float32)  # (Bk, D)
+        # bf16 matmul inputs with fp32 accumulation: matches XLA's default
+        # f32 matmul precision on TPU at ~4x the fp32 MXU rate.
+        q = q_ref[0].astype(jnp.bfloat16)  # (Bq, D)
+        k = k_ref[0].astype(jnp.bfloat16)  # (Bk, D)
+        v = v_ref[0].astype(jnp.bfloat16)  # (Bk, D)
 
         ac = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -74,7 +76,7 @@ def _flash_relpos_kernel(
         # keep lane shapes 128-aligned for Mosaic.
         band_len = block_q + block_k
         base = (seq_len - 1) + k_start - q_start
-        band = rel_ref[0, pl.ds(base, band_len), :].astype(jnp.float32)
+        band = rel_ref[0, pl.ds(base, band_len), :].astype(jnp.bfloat16)
         p = jax.lax.dot_general(
             q, band, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (Bq, band_len)
@@ -104,7 +106,8 @@ def _flash_relpos_kernel(
         l_new = l_prev * alpha + jnp.sum(p_exp, axis=1, keepdims=True)
 
         acc_scratch[:] = acc_scratch[:] * alpha + jax.lax.dot_general(
-            p_exp, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p_exp.astype(jnp.bfloat16), v,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
         m_scratch[:] = m_new
         l_scratch[:] = l_new
