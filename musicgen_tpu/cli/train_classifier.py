@@ -23,6 +23,9 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--data", required=True)
     p.add_argument("--metadata", required=True)
+    p.add_argument("--distribution", default=None,
+                   help="data_distribution.json with explicit train/test "
+                        "file lists (reference train_classifier.py:52-57)")
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--log", default=None)
     p.add_argument("--epochs", type=int, default=None)
@@ -35,10 +38,31 @@ def main() -> None:
         batch_size=args.batch_size or cfg.values.batch_size,
         epochs=args.epochs or cfg.values.epochs,
     )
-    dataset = TokenDataset.from_directory(
-        args.data, args.metadata, block_len=cfg.classifier.context_length
-    )
-    train_iter, test_iter = make_loaders(dataset, values, seed=args.seed)
+    if args.distribution:
+        import json as _json
+
+        with open(args.distribution) as f:
+            dist = _json.load(f)
+        from ..data.dataset import BatchIterator
+        import numpy as _np
+
+        train_ds = TokenDataset.from_file_list(
+            dist["train"], args.metadata, block_len=cfg.classifier.context_length
+        )
+        test_ds = TokenDataset.from_file_list(
+            dist["test"], args.metadata, block_len=cfg.classifier.context_length
+        )
+        train_iter = BatchIterator(
+            train_ds, _np.arange(len(train_ds)), values.batch_size, args.seed
+        )
+        test_iter = BatchIterator(
+            test_ds, _np.arange(len(test_ds)), values.batch_size, args.seed + 1
+        )
+    else:
+        dataset = TokenDataset.from_directory(
+            args.data, args.metadata, block_len=cfg.classifier.context_length
+        )
+        train_iter, test_iter = make_loaders(dataset, values, seed=args.seed)
 
     model = new_model("classifier", cfg)
     params = init_params(model, "classifier")

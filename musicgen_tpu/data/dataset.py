@@ -68,6 +68,19 @@ class TokenDataset:
         _, band_vectors = load_band_vectors(metadata_path, tokenizations_path)
         return cls(paths, band_vectors, block_len, crop)
 
+    @classmethod
+    def from_file_list(
+        cls,
+        file_paths: list,
+        metadata_path: str | Path,
+        block_len: int = 2048,
+        crop: str = "random",
+    ) -> "TokenDataset":
+        """Explicit file list (reference train_classifier.py:52-57 loads
+        train/test lists from data_distribution.json)."""
+        _, band_vectors = load_band_vectors(metadata_path)
+        return cls(list(file_paths), band_vectors, block_len, crop)
+
     def __len__(self) -> int:
         return len(self.file_paths)
 

@@ -81,16 +81,15 @@ def _ssd_kernel(
 
     # State update: state_out = exp(cum_last) * state_in
     #   + sum_s exp(cum_last - cum[s]) xdt_s B_s^T
-    cum_last = cum_col[chunk - 1 : chunk, :]  # (1, 1), static slice
+    # cum_last (the full-chunk decay) is just sum(da) — keep it a TRUE
+    # scalar: Mosaic rejects the (1,1)-slice + dual-axis broadcast form.
+    cum_last = jnp.sum(da)
     decay_to_end = jnp.exp(cum_last - cum_col)  # (Q, 1)
     contrib = jax.lax.dot_general(
         xdt * decay_to_end, b, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (P, N)
-    # (1,1) -> (P,1) -> (P,N): two single-axis broadcasts (Mosaic rejects a
-    # simultaneous sublane+lane broadcast).
-    exp_last_col = jnp.broadcast_to(jnp.exp(cum_last), (state_in.shape[0], 1))
-    state_scratch[:] = state_in * exp_last_col + contrib
+    state_scratch[:] = state_in * jnp.exp(cum_last) + contrib
 
     y_ref[0] = y.astype(y_ref.dtype)
 
