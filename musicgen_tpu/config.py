@@ -187,6 +187,9 @@ class MambaConfig:
     vocab_size: int = VOCAB_SIZE
     metadata_vocab_size: int = DEFAULT_METADATA_VOCAB_SIZE
     vocab_pad_multiple: int = VOCAB_PAD_MULTIPLE
+    # 'xla' (differentiable) or 'pallas' (fused TPU kernel, forward-only —
+    # used by prefill/inference).
+    ssd_impl: str = "xla"
     # Reference quirk (models/mamba/mamba.py:32-33): layers are stacked with
     # NO inter-layer residual connections. Keep False for fidelity.
     residual: bool = False
@@ -225,6 +228,8 @@ class XLSTMConfig:
     vocab_size: int = VOCAB_SIZE
     metadata_vocab_size: int = DEFAULT_METADATA_VOCAB_SIZE
     vocab_pad_multiple: int = VOCAB_PAD_MULTIPLE
+    # 'xla' or 'pallas' for the sLSTM recurrence (forward-only kernel).
+    slstm_impl: str = "xla"
 
     @property
     def padded_vocab(self) -> int:

@@ -165,7 +165,12 @@ class Mamba2Mixer(nn.Module):
         Bh = B_p.reshape(b, t + pad, c.ngroups, c.d_state)
         Ch = C_p.reshape(b, t + pad, c.ngroups, c.d_state)
 
-        y, ssm_state = ssd_chunked(xh, dth, A, Bh, Ch, chunk=chunk)
+        if c.ssd_impl == "pallas":
+            from ..ops.pallas_ssd import ssd_chunked_pallas
+
+            y, ssm_state = ssd_chunked_pallas(xh, dth, A, Bh, Ch, chunk=chunk)
+        else:
+            y, ssm_state = ssd_chunked(xh, dth, A, Bh, Ch, chunk=chunk)
         # NB: trailing pad steps have dt=0 -> decay=1, no state update, so
         # ssm_state is exact despite padding.
         y = y[:, :t]

@@ -206,6 +206,7 @@ class SLSTMLayer(nn.Module):
     conv_kernel: int
     block_idx: int = 0
     num_blocks: int = 1
+    impl: str = "xla"  # 'pallas' = fused recurrence kernel in prefill
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -264,7 +265,12 @@ class SLSTMLayer(nn.Module):
             tail = jnp.pad(tail, ((0, 0), (pad_t, 0), (0, 0)))
         x_c = jax.nn.silu(causal_conv1d(x, self.conv_w, self.conv_b))
         wx = self._wx(x, x_c)
-        h, sstate = slstm_sequential(wx, self.r_kernel, self.bias)
+        if self.impl == "pallas" and wx.shape[1] % 128 == 0:
+            from ..ops.pallas_slstm import slstm_pallas
+
+            h, sstate = slstm_pallas(wx, self.r_kernel, self.bias, chunk=128)
+        else:
+            h, sstate = slstm_sequential(wx, self.r_kernel, self.bias)
         return self._groupnorm(h).astype(x.dtype), {"conv": tail, "slstm": sstate}
 
     def step(self, x: jax.Array, state: BlockState) -> Tuple[jax.Array, BlockState]:
@@ -302,6 +308,7 @@ class XLSTMBlock(nn.Module):
     num_blocks: int
     mlstm_proj_factor: float = 2.0
     slstm_ff_proj_factor: float = 1.3
+    slstm_impl: str = "xla"
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -310,7 +317,7 @@ class XLSTMBlock(nn.Module):
             self.layer = SLSTMLayer(
                 self.d_model, self.num_heads, self.conv_kernel,
                 block_idx=self.block_idx, num_blocks=self.num_blocks,
-                dtype=self.dtype, name="slstm",
+                impl=self.slstm_impl, dtype=self.dtype, name="slstm",
             )
             self.ln_ffn = nn.LayerNorm(dtype=self.dtype)
             self.ffn = FFN(self.d_model, self.slstm_ff_proj_factor, dtype=self.dtype)
@@ -351,6 +358,7 @@ class XLSTMStack(nn.Module):
     qkv_blocksize: int
     mlstm_proj_factor: float = 2.0
     slstm_ff_proj_factor: float = 1.3
+    slstm_impl: str = "xla"
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -361,6 +369,7 @@ class XLSTMStack(nn.Module):
                 num_blocks=self.num_blocks,
                 mlstm_proj_factor=self.mlstm_proj_factor,
                 slstm_ff_proj_factor=self.slstm_ff_proj_factor,
+                slstm_impl=self.slstm_impl,
                 dtype=self.dtype, name=f"block_{i}",
             )
             for i in range(self.num_blocks)
@@ -402,7 +411,8 @@ class XLSTMLM(nn.Module):
         self.stack = XLSTMStack(
             c.embedding_dim, c.num_blocks, c.slstm_at, c.num_heads,
             c.conv1d_kernel_size, c.qkv_proj_blocksize,
-            c.mlstm_proj_factor, c.slstm_ff_proj_factor, dtype=self.dtype,
+            c.mlstm_proj_factor, c.slstm_ff_proj_factor,
+            slstm_impl=getattr(c, "slstm_impl", "xla"), dtype=self.dtype,
         )
         self.lm_head = nn.Dense(c.padded_vocab, dtype=jnp.float32, name="lm_head")
 

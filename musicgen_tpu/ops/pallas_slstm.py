@@ -33,10 +33,12 @@ def _slstm_kernel(
     r_ref,  # (1, DH, 4*DH)
     b_ref,  # (1, 1, 4*DH)
     h_out_ref,  # (1, TT, DH)
+    state_out_ref,  # (1, 4, DH) final (h, c, n, m)
     h_s, c_s, n_s, m_s,  # scratch (1, DH) each
     *, chunk: int, dh: int,
 ):
     ci = pl.program_id(1)
+    nc = pl.num_programs(1)
 
     @pl.when(ci == 0)
     def _init():
@@ -78,6 +80,13 @@ def _slstm_kernel(
 
     jax.lax.fori_loop(0, chunk, step, 0)
 
+    @pl.when(ci == nc - 1)
+    def _emit_state():
+        state_out_ref[0, 0:1, :] = h_s[:].astype(state_out_ref.dtype)
+        state_out_ref[0, 1:2, :] = c_s[:].astype(state_out_ref.dtype)
+        state_out_ref[0, 2:3, :] = n_s[:].astype(state_out_ref.dtype)
+        state_out_ref[0, 3:4, :] = m_s[:].astype(state_out_ref.dtype)
+
 
 def slstm_pallas(
     wx: jax.Array,  # (B, T, 4, H, DH)
@@ -85,11 +94,11 @@ def slstm_pallas(
     b: jax.Array,  # (4, H, DH)
     chunk: int = 256,
     interpret: bool = False,
-) -> jax.Array:
-    """Fused full-sequence sLSTM. Returns h (B, T, H, DH).
+) -> Tuple[jax.Array, SState]:
+    """Fused full-sequence sLSTM. Returns (h (B, T, H, DH), final_state),
+    matching ops.slstm.slstm_sequential's contract.
 
-    T must be a multiple of `chunk` (pad upstream; padded steps produce
-    garbage h that callers slice off — state beyond T is not reused).
+    T must be a multiple of `chunk` (pad upstream).
     """
     bsz, t, four, h, dh = wx.shape
     assert four == 4 and t % chunk == 0
@@ -106,7 +115,7 @@ def slstm_pallas(
     grid = (bh, t // chunk)
     kernel = functools.partial(_slstm_kernel, chunk=chunk, dh=dh)
 
-    h_out = pl.pallas_call(
+    h_out, state_out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -114,8 +123,14 @@ def slstm_pallas(
             pl.BlockSpec((1, dh, 4 * dh), lambda i, c: (i, 0, 0)),
             pl.BlockSpec((1, 1, 4 * dh), lambda i, c: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, chunk, dh), lambda i, c: (i, c, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, t, dh), wx.dtype),
+        out_specs=[
+            pl.BlockSpec((1, chunk, dh), lambda i, c: (i, c, 0)),
+            pl.BlockSpec((1, 4, dh), lambda i, c: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, t, dh), wx.dtype),
+            jax.ShapeDtypeStruct((bh, 4, dh), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((1, dh), jnp.float32),
             pltpu.VMEM((1, dh), jnp.float32),
@@ -125,4 +140,7 @@ def slstm_pallas(
         interpret=interpret,
     )(wx_f, r_f, b_f)
 
-    return h_out.reshape(bsz, h, t, dh).transpose(0, 2, 1, 3)
+    h_seq = h_out.reshape(bsz, h, t, dh).transpose(0, 2, 1, 3)
+    st = state_out.reshape(bsz, h, 4, dh)
+    state: SState = (st[:, :, 0], st[:, :, 1], st[:, :, 2], st[:, :, 3])
+    return h_seq, state
