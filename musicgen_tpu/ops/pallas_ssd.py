@@ -61,21 +61,26 @@ def _ssd_kernel(
 
     # Intra-chunk: scores[t, s] = (C_t . B_s) * exp(cum[t] - cum[s]).
     # Materialize the (Q,Q) difference via single-axis broadcasts only.
+    # Gate/cum math stays f32; the big matmuls take bf16 inputs with f32
+    # accumulation (XLA's default f32-matmul precision, 4x the MXU rate).
     cum_t = jnp.broadcast_to(cum_col, (chunk, chunk))  # lanes
     diff = cum_t - jnp.broadcast_to(cum_row, (chunk, chunk))  # sublanes
     decay = jnp.where(causal, jnp.exp(diff), 0.0)
     cb = jax.lax.dot_general(
-        c, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        c.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
     )  # (Q, Q)
     scores = cb * decay
     y = jax.lax.dot_general(
-        scores, xdt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        scores.astype(jnp.bfloat16), xdt.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )  # (Q, P)
 
     # Inter-chunk: y[t] += exp(cum[t]) * C_t . state_in
     state_in = state_scratch[:]  # (P, N)
     y_off = jax.lax.dot_general(
-        c, state_in, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        c.astype(jnp.bfloat16), state_in.astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
     )  # (Q, P)
     y = y + y_off * jnp.exp(cum_col)
 
@@ -86,8 +91,8 @@ def _ssd_kernel(
     cum_last = jnp.sum(da)
     decay_to_end = jnp.exp(cum_last - cum_col)  # (Q, 1)
     contrib = jax.lax.dot_general(
-        xdt * decay_to_end, b, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        (xdt * decay_to_end).astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )  # (P, N)
     state_scratch[:] = state_in * jnp.exp(cum_last) + contrib
 

@@ -15,13 +15,15 @@ def _inputs(rng, b=2, t=64, h=4, p=64, g=1, n=64):
     return x, dt, A, B, C
 
 
+# NB: the kernel feeds its matmuls bf16 inputs (f32 accumulation) — the same
+# precision XLA uses for f32 matmuls on TPU — so tolerances are bf16-scale.
 def test_pallas_ssd_matches_reference():
     rng = np.random.default_rng(0)
     x, dt, A, B, C = _inputs(rng)
     y_p, s_p = ssd_chunked_pallas(x, dt, A, B, C, chunk=32, interpret=True)
     y_r, s_r = ssd_reference(x, dt, A, B, C)
-    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_r), rtol=2e-4, atol=2e-4)
-    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_r), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_r), rtol=3e-2, atol=3e-2)
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_r), rtol=3e-2, atol=3e-2)
 
 
 def test_pallas_ssd_groups():
@@ -29,5 +31,5 @@ def test_pallas_ssd_groups():
     x, dt, A, B, C = _inputs(rng, h=4, g=2, n=64, p=64)
     y_p, s_p = ssd_chunked_pallas(x, dt, A, B, C, chunk=16, interpret=True)
     y_r, s_r = ssd_reference(x, dt, A, B, C)
-    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_r), rtol=2e-4, atol=2e-4)
-    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_r), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_r), rtol=3e-2, atol=3e-2)
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_r), rtol=3e-2, atol=3e-2)
