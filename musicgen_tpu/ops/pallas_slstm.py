@@ -12,6 +12,12 @@ sequence and batches the four gates' recurrent matmuls into one
 
 Grid: (batch*heads, T/chunk) with the chunk axis sequential (state carried
 in scratch). Forward-only; training uses the XLA scan oracle.
+
+Status: bit-exact vs the scan oracle on TPU, but ~10x SLOWER at the
+reference sizes — each grid program runs (1, DH) x (DH, 4DH) matmuls (M=1
+starves the MXU) while XLA's scan batches all B*H recurrences into one
+matmul per step. Kept as the starting point for a batched-in-kernel
+version; `XLSTMConfig.slstm_impl` defaults to 'xla'.
 """
 from __future__ import annotations
 
