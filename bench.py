@@ -27,7 +27,8 @@ def main() -> None:
     from musicgen_tpu.models.mamba import MambaLM
     from musicgen_tpu.sample.sampler import SamplerConfig, make_sampler, sample_tokens
 
-    cfg = MambaConfig()  # full reference size
+    # Full reference size; prefill runs the fused Pallas SSD kernel.
+    cfg = MambaConfig(ssd_impl="pallas")
     model = MambaLM(cfg)
     rng = np.random.default_rng(0)
     batch, prompt_len, num_tokens = 2, 2048, 2000
