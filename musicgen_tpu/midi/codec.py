@@ -105,7 +105,7 @@ def adjust_note_time(
     prev_time = 0.0
     prev_tempo = notes[0].tempo
     for n in notes:
-        res = 60.0 / prev_tempo / res_per_beat
+        res = 60.0 / max(prev_tempo, 1.0) / res_per_beat  # 0-bpm guard
         current_beats += (n.time_start - prev_time) / res
         future_beats = current_beats + (n.time_end - n.time_start) / res
         prev_time = n.time_start
@@ -218,7 +218,10 @@ def revert_note_time(
     prev_beat = 0.0
     prev_tempo = notes[0].tempo
     for n in notes:
-        res = 60.0 / prev_tempo / res_per_beat
+        # Robustness beyond the reference: a sampled tempo token of 0 bpm
+        # (vocabulary id tempo_start) would divide by zero here and produce
+        # infinite times downstream; clamp the RESOLUTION only.
+        res = 60.0 / max(prev_tempo, 1.0) / res_per_beat
         time_start = prev_time + (n.time_start - prev_beat) * res
         time_end = time_start + (n.time_end - n.time_start) * res
         prev_time = time_start

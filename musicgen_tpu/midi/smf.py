@@ -292,7 +292,9 @@ def _build_write_tempo_map(
     prev_intended = 0.0
     prev_slope = None  # seconds per tick
     for intended_sec, bpm in expanded:
-        us = int(round(60e6 / bpm))
+        # Clamp into the 3-byte MIDI tempo field (and guard bpm <= 0, which
+        # a raw sampled tempo token can produce).
+        us = min(max(int(round(60e6 / max(bpm, 3.6))), 1), 0xFFFFFF)
         if prev_slope is None:
             tick, reader_sec = 0, 0.0
         else:

@@ -228,3 +228,21 @@ def test_encode_caps_out_of_range_fields():
     assert tokens[2] == VOCAB.time_start - 1
     assert tokens[3] == VOCAB.time_start
     assert tokens[4] == VOCAB.vocab_size - 1
+
+
+def test_zero_tempo_token_roundtrip(tmp_path):
+    """Regression: a sampled tempo of 0 bpm (vocab id tempo_start) must not
+    produce infinite times or overflow the 3-byte MIDI tempo field
+    (found driving the generate CLI with an untrained model)."""
+    d = Discretization()
+    tokens = [
+        60, VOCAB.dyn_start + 90, VOCAB.length_start + 8,
+        VOCAB.time_start + 4, VOCAB.tempo_start,  # tempo == 0 bpm
+        62, VOCAB.dyn_start + 80, VOCAB.length_start + 8,
+        VOCAB.tempo_start + 120,
+    ]
+    notes = decode(tokens)
+    assert all(math.isfinite(n.time_start) and math.isfinite(n.time_end) for n in notes)
+    path = str(tmp_path / "zero_tempo.mid")
+    note_to_midi(notes, path)  # must not raise
+    assert extract_midi(path)
