@@ -53,7 +53,8 @@ def main() -> None:
     params = model.init(jax.random.PRNGKey(0), prompt[:, :16], meta)
 
     prefill, step = make_sampler(model, "mamba", block_len=prompt_len)
-    scfg = SamplerConfig(num_tokens=num_tokens, greedy=False)
+    # unroll=4 amortizes per-step dispatch overhead (+14%, DEV_NOTES.md).
+    scfg = SamplerConfig(num_tokens=num_tokens, greedy=False, unroll=4)
 
     @jax.jit
     def run(params, prompt, meta, key):

@@ -38,8 +38,14 @@ def main() -> None:
     p.add_argument("--augmentation", action="store_true")
     p.add_argument("--parallel", action="store_true", help="mesh-sharded SPMD")
     p.add_argument("--tp", type=int, default=1, help="model-axis size (with --parallel)")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed for a TPU pod (replaces "
+                        "the reference's torchrun launcher, README.md:26-29)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
+
+    if args.multihost:
+        jax.distributed.initialize()
 
     cfg = DEFAULT_CONFIG
     values = TrainValues(

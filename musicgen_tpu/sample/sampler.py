@@ -45,6 +45,9 @@ class SamplerConfig:
     ring_size: int = 2048
     greedy: bool = False
     max_topk: int = 3
+    # lax.scan unroll factor: >1 amortizes per-step dispatch overhead (the
+    # decode loop is latency-bound, DEV_NOTES.md) at the cost of compile time.
+    unroll: int = 1
 
 
 class PenaltyState(NamedTuple):
@@ -235,7 +238,7 @@ def sample_tokens(
 
     keys = jax.random.split(rng, cfg.num_tokens)
     carry0 = (init_logits, init_model_state, pen0, last0, jnp.int32(p))
-    _, toks = jax.lax.scan(body, carry0, keys)
+    _, toks = jax.lax.scan(body, carry0, keys, unroll=cfg.unroll)
     return toks.transpose(1, 0)  # (B, num_tokens)
 
 
