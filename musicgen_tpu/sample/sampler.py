@@ -48,6 +48,9 @@ class SamplerConfig:
     # lax.scan unroll factor: >1 amortizes per-step dispatch overhead (the
     # decode loop is latency-bound, DEV_NOTES.md) at the cost of compile time.
     unroll: int = 1
+    # Fuse the vocab-wide tail (grammar filter + penalty + top-3) into one
+    # Pallas kernel (ops/pallas_sampler.py). TPU only.
+    fused_tail: bool = False
 
 
 class PenaltyState(NamedTuple):
@@ -178,6 +181,21 @@ def _sample_k(prev: jax.Array, key: jax.Array, layout: VocabLayout = VOCAB):
     return (choice + 1).astype(jnp.int32)
 
 
+def _pick_from_topk(
+    vals: jax.Array,  # (B, K)
+    idxs: jax.Array,  # (B, K)
+    k: jax.Array,  # (B,)
+    key: jax.Array,
+    greedy: bool,
+) -> jax.Array:
+    if greedy:
+        return idxs[:, 0].astype(jnp.int32)
+    mask = jnp.arange(vals.shape[1])[None, :] < k[:, None]
+    probs = jnp.where(mask, vals, 0.0)
+    choice = jax.random.categorical(key, jnp.log(probs + 1e-30), axis=-1)
+    return jnp.take_along_axis(idxs, choice[:, None], axis=1)[:, 0].astype(jnp.int32)
+
+
 def _pick_next(
     w: jax.Array,  # (B, V) nonneg sampling weights
     k: jax.Array,  # (B,) in 1..max_topk
@@ -224,11 +242,21 @@ def sample_tokens(
 
     def body(carry, step_key):
         logits, model_state, pen, last, stream_idx = carry
-        w = filtered_logits(last, logits, layout)  # (B, V)
-        w = w / penalty_divisor(pen.hist, layout)
         k_key, pick_key = jax.random.split(step_key)
         k = _sample_k(last, k_key, layout)
-        next_tok = _pick_next(w, k, pick_key, cfg.max_topk, cfg.greedy)
+        if cfg.fused_tail:
+            from ..ops.grammar import grammar_mask
+            from ..ops.pallas_sampler import fused_filter_penalty_top3
+
+            mask_rows = grammar_mask(layout)[field_bucket(last, layout)]
+            vals, idxs = fused_filter_penalty_top3(
+                logits, mask_rows, pen.hist, layout
+            )
+            next_tok = _pick_from_topk(vals, idxs, k, pick_key, cfg.greedy)
+        else:
+            w = filtered_logits(last, logits, layout)  # (B, V)
+            w = w / penalty_divisor(pen.hist, layout)
+            next_tok = _pick_next(w, k, pick_key, cfg.max_topk, cfg.greedy)
         pen = push_token(pen, next_tok, layout)
         logits, model_state = step_fn(params, next_tok, model_state, stream_idx)
         return (
