@@ -31,9 +31,10 @@ NEG = -1e30
 
 def _tail_kernel(logits_ref, mask_ref, hist_ref, vals_ref, idx_ref, *, vp: int,
                  dyn_start: int, length_start: int):
-    x = logits_ref[:].astype(jnp.float32)  # (1, Vp) row
+    x = logits_ref[:].astype(jnp.float32)  # (B, Vp)
     mask = mask_ref[:].astype(jnp.float32)
     hist = hist_ref[:].astype(jnp.float32)
+    bsz = x.shape[0]
 
     # log_softmax over the REAL vocab: padded lanes carry x = NEG.
     m = jnp.max(x, axis=-1, keepdims=True)
@@ -53,18 +54,18 @@ def _tail_kernel(logits_ref, mask_ref, hist_ref, vals_ref, idx_ref, *, vp: int,
 
     # Exact top-3, ties -> lowest index (lax.top_k convention). Results are
     # accumulated into 128-wide output rows via lane masks (no scalar stores).
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    out_vals = jnp.zeros((1, 128), jnp.float32)
-    out_idx = jnp.zeros((1, 128), jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bsz, 128), 1)
+    out_vals = jnp.zeros((bsz, 128), jnp.float32)
+    out_idx = jnp.zeros((bsz, 128), jnp.int32)
     for k in range(3):
-        mk = jnp.max(w, axis=-1, keepdims=True)  # (1, 1)
+        mk = jnp.max(w, axis=-1, keepdims=True)  # (B, 1)
         cand = jnp.where(w == mk, ids, vp)
-        ik = jnp.min(cand, axis=-1, keepdims=True)  # (1, 1)
-        out_vals = jnp.where(lane == k, jnp.broadcast_to(mk, (1, 128)), out_vals)
-        out_idx = jnp.where(lane == k, jnp.broadcast_to(ik, (1, 128)), out_idx)
+        ik = jnp.min(cand, axis=-1, keepdims=True)  # (B, 1)
+        out_vals = jnp.where(lane == k, jnp.broadcast_to(mk, (bsz, 128)), out_vals)
+        out_idx = jnp.where(lane == k, jnp.broadcast_to(ik, (bsz, 128)), out_idx)
         w = jnp.where(ids == ik, NEG, w)
-    vals_ref[0] = out_vals
-    idx_ref[0] = out_idx
+    vals_ref[:, 0, :] = out_vals
+    idx_ref[:, 0, :] = out_idx
 
 
 def fused_filter_penalty_top3(
@@ -87,18 +88,10 @@ def fused_filter_penalty_top3(
         _tail_kernel, vp=vp,
         dyn_start=layout.dyn_start, length_start=layout.length_start,
     )
+    # Single program over the whole (B, Vp) arrays (B is tiny; 143 KB VMEM
+    # at B=2, V=17920).
     vals, idxs = pl.pallas_call(
         kernel,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, vp), lambda i: (i, 0)),
-            pl.BlockSpec((1, vp), lambda i: (i, 0)),
-            pl.BlockSpec((1, vp), lambda i: (i, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0)),
-        ],
         out_shape=[
             jax.ShapeDtypeStruct((b, 1, 128), jnp.float32),
             jax.ShapeDtypeStruct((b, 1, 128), jnp.int32),
