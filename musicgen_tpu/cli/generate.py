@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import DEFAULT_CONFIG, NUM_META
+from ..config import DEFAULT_CONFIG
 from ..data.dataset import TokenDataset
 from ..midi import decode, note_to_midi
 from ..models.registry import init_params, new_model

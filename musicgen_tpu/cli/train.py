@@ -41,6 +41,9 @@ def main() -> None:
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed for a TPU pod (replaces "
                         "the reference's torchrun launcher, README.md:26-29)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 compute (fp32 params/loss; ~2x transformer "
+                        "training, BENCHMARKS.md)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
@@ -60,7 +63,10 @@ def main() -> None:
     )
     train_iter, test_iter = make_loaders(dataset, values, seed=args.seed)
 
-    model = new_model(args.model, cfg)
+    import jax.numpy as jnp_
+
+    dtype = jnp_.bfloat16 if args.bf16 else jnp_.float32
+    model = new_model(args.model, cfg, dtype=dtype)
     params = init_params(model, args.model, seed=args.seed, block_len=values.block_len)
 
     ckpt_dir = args.ckpt_dir or os.path.join(cfg.paths.pretrained, args.model)

@@ -19,7 +19,6 @@ from typing import List, Sequence
 
 import numpy as np
 
-from ..config import Resolution
 from ..midi import MidiNote, adjust_note_time, revert_note_time
 
 NUM_PLANES = 4

@@ -6,7 +6,7 @@ RePaint `conf` interface the reference relies on but does not ship
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 

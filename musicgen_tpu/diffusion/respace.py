@@ -9,7 +9,7 @@ index back to the original training timestep.
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterable, List, Set
+from typing import List, Set
 
 import numpy as np
 

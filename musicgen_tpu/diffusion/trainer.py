@@ -4,7 +4,7 @@ undefined; BASELINE.json config 5 expects "Diffusion UNet over encoded
 sequences ... fp16_util -> bf16"). bf16 UNet compute, fp32 loss, Adam."""
 from __future__ import annotations
 
-from typing import Any, Callable, Iterator, Optional
+from typing import Any, Iterator
 
 import jax
 import jax.numpy as jnp

@@ -6,8 +6,6 @@ import time
 from typing import Callable, Dict
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 
 def time_forward(

@@ -1,17 +1,12 @@
 """Model factory (reference: train.py:52-67 new_model/load_model)."""
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
-from ..config import (
-    ClassifierConfig,
-    Config,
-    DEFAULT_CONFIG,
-    NUM_META,
-)
+from ..config import Config, DEFAULT_CONFIG, NUM_META
 from .mamba import MambaLM
 from .transformer import TransformerLM
 from .xlstm import XLSTMClassifier, XLSTMLM

@@ -18,7 +18,7 @@ single biggest performance defect per SURVEY.md §6).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import flax.linen as nn
 import jax

@@ -26,21 +26,16 @@ replacing the reference's per-token full re-forward (SURVEY.md §3.3).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from ..config import ClassifierConfig, XLSTMConfig
-from ..ops.mlstm import (
-    mlstm_init_state,
-    mlstm_parallel,
-    mlstm_step,
-)
+from ..ops.mlstm import mlstm_parallel, mlstm_step
 from ..ops.slstm import (
     powerlaw_blockdependent_bias,
-    slstm_init_state,
     slstm_sequential,
     slstm_step,
 )

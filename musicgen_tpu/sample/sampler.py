@@ -27,7 +27,6 @@ for windows up to `ring_size` tokens).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Callable, NamedTuple, Tuple
 
 import jax

@@ -9,10 +9,9 @@ single-controller equivalent of DDP's bucketed ring all-reduce.
 """
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import jax
-import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh
 

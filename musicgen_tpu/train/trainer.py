@@ -17,9 +17,8 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-import time
 from datetime import datetime
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +27,6 @@ import optax
 
 from ..config import TrainValues
 from ..data.augment import augment
-from ..parallel.mesh import batch_sharding, make_mesh, param_shardings, replicated
 from .loss import classifier_bce, filtered_cross_entropy
 
 
