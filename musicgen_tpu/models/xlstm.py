@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ClassifierConfig, XLSTMConfig
-from ..ops.mlstm import mlstm_parallel, mlstm_step
+from ..ops.mlstm import mlstm_chunkwise, mlstm_parallel, mlstm_step
 from ..ops.slstm import (
     powerlaw_blockdependent_bias,
     slstm_sequential,
@@ -148,27 +148,23 @@ class MLSTMLayer(nn.Module):
         qh = q.reshape(b, t, self.num_heads, self.dh)
         kh = k.reshape(b, t, self.num_heads, self.dh)
         vh = v.reshape(b, t, self.num_heads, self.dh)
-        h = mlstm_parallel(qh, kh, vh, ig, fg)
 
-        # Recompute the final recurrent state by replaying the scan over the
-        # last... we need the FULL state; run the recurrent accumulation in
-        # log-space across the whole prefix (cheap: one pass of elementwise
-        # ops plus one outer-product sum).
-        f32 = jnp.float32
-        log_f = jax.nn.log_sigmoid(fg.astype(f32))
-        f_cum = jnp.cumsum(log_f, axis=1)  # (B,T,H)
-        total = f_cum[:, -1:, :]
-        # m_T = max_s (sum_{k>s} log_f + i_s)
-        d_last = (total - f_cum) + ig.astype(f32)  # (B,T,H)
-        m_last = jnp.max(d_last, axis=1)  # (B,H)
-        w = jnp.exp(d_last - m_last[:, None, :])  # (B,T,H)
-        k_scaled = kh.astype(f32) / jnp.sqrt(float(self.dh))
-        s_state = jnp.einsum("bth,bthk,bthv->bhkv", w, k_scaled, vh.astype(f32))
-        n_state = jnp.einsum("bth,bthk->bhk", w, k_scaled)
-        state = {
-            "conv": tail,
-            "mlstm": (s_state, n_state, m_last),
-        }
+        # Chunkwise form: one pass yields BOTH the sequence outputs and the
+        # exact (S, n, m) decode state in O(T*chunk) memory. Trailing pad
+        # steps are made inert (i = -inf -> no write, f-pre large -> decay 1).
+        chunk = min(256, max(16, t))
+        pad = (-t) % chunk
+        if pad:
+            qh = jnp.pad(qh, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            kh = jnp.pad(kh, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            vh = jnp.pad(vh, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            ig_p = jnp.pad(ig, ((0, 0), (0, pad), (0, 0)), constant_values=-1e30)
+            fg_p = jnp.pad(fg, ((0, 0), (0, pad), (0, 0)), constant_values=30.0)
+        else:
+            ig_p, fg_p = ig, fg
+        h, mstate = mlstm_chunkwise(qh, kh, vh, ig_p, fg_p, chunk=chunk)
+        h = h[:, :t]
+        state = {"conv": tail, "mlstm": mstate}
         h = self._headnorm(h).astype(x.dtype)
         h = h + self.learnable_skip * x_c
         y = h * jax.nn.silu(z)

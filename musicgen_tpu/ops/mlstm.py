@@ -130,3 +130,100 @@ def mlstm_sequential(
     )
     _, hs = jax.lax.scan(body, state, xs)
     return hs.transpose(1, 0, 2, 3)
+
+
+def mlstm_chunkwise(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    igate: jax.Array,
+    fgate: jax.Array,
+    chunk: int = 256,
+    initial_state: MState | None = None,
+) -> Tuple[jax.Array, MState]:
+    """Chunkwise-parallel mLSTM (the formulation of NX-AI's Triton
+    `mlstm_kernels`, reimplemented in XLA): O(T*chunk) memory instead of the
+    O(T^2) parallel form, with exact carry of the (S, n, m) state across
+    chunks — so it also serves long-context streaming prefill.
+
+    Returns (h (B,T,H,DH), final_state). T must be a multiple of `chunk`.
+    """
+    b, t, h, dh = q.shape
+    assert t % chunk == 0, f"T={t} % chunk={chunk}"
+    nc = t // chunk
+    f32 = jnp.float32
+
+    log_f = jax.nn.log_sigmoid(fgate.astype(f32)).reshape(b, nc, chunk, h)
+    ig = igate.astype(f32).reshape(b, nc, chunk, h)
+    qc = q.astype(f32).reshape(b, nc, chunk, h, dh)
+    kc = (k.astype(f32) / jnp.sqrt(float(dh))).reshape(b, nc, chunk, h, dh)
+    vc = v.astype(f32).reshape(b, nc, chunk, h, dh)
+
+    # Within-chunk cumulative log-forget b_t = sum_{k<=t} log_f_k.
+    bcum = jnp.cumsum(log_f, axis=2)  # (B,NC,Q,H)
+    btot = bcum[:, :, -1, :]  # (B,NC,H)
+    # Intra-chunk source weight a_s = i_s - b_s; stabilizer over prefixes.
+    a = ig - bcum  # (B,NC,Q,H)
+    m_intra = jax.lax.cummax(a, axis=2) + bcum  # (B,NC,Q,H): max_{s<=t}(b_t - b_s + i_s)
+
+    if initial_state is None:
+        s0 = jnp.zeros((b, h, dh, dh), f32)
+        n0 = jnp.zeros((b, h, dh), f32)
+        m0 = jnp.full((b, h), -jnp.inf, f32)
+    else:
+        s0, n0, m0 = (x.astype(f32) for x in initial_state)
+
+    def scan_chunk(carry, xs):
+        s_in, n_in, m_in = carry
+        bcum_i, btot_i, a_i, m_intra_i, q_i, k_i, v_i = xs
+        # Shapes: bcum_i (B,Q,H), btot_i (B,H), a_i (B,Q,H), q/k/v (B,Q,H,DH)
+
+        # Per-position stabilizer.
+        m_t = jnp.maximum(m_in[:, None, :] + bcum_i, m_intra_i)  # (B,Q,H)
+
+        # Intra-chunk: D[t,s] = exp(b_t - b_s + i_s - m_t), s <= t.
+        qn = bcum_i[:, :, None, :] + a_i[:, None, :, :]  # b_t + (i_s - b_s): (B,T,S,H)
+        d = qn - m_t[:, :, None, :]
+        ti = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+        si = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+        causal = (si <= ti)[None, :, :, None]
+        w = jnp.where(causal, jnp.exp(d), 0.0)  # (B,T,S,H)
+
+        scores = jnp.einsum("bthd,bshd->btsh", q_i, k_i)
+        cw = scores * w
+        num = jnp.einsum("btsh,bshd->bthd", cw, v_i)
+        den = jnp.sum(cw, axis=2)  # (B,T,H)
+
+        # Inter-chunk contribution.
+        inter = jnp.exp(m_in[:, None, :] + bcum_i - m_t)  # (B,T,H)
+        num = num + inter[..., None] * jnp.einsum("bthd,bhde->bthe", q_i, s_in)
+        den = den + inter * jnp.einsum("bthd,bhd->bth", q_i, n_in)
+
+        den = jnp.maximum(jnp.abs(den), jnp.exp(-m_t))
+        h_out = num / den[..., None]
+
+        # Carry update to chunk end.
+        m_out = jnp.maximum(m_in + btot_i, m_intra_i[:, -1, :])  # (B,H)
+        w_end = jnp.exp(btot_i[:, None, :] + a_i - m_out[:, None, :])  # (B,S,H)
+        s_out = (
+            jnp.exp(m_in + btot_i - m_out)[:, :, None, None] * s_in
+            + jnp.einsum("bsh,bshd,bshe->bhde", w_end, k_i, v_i)
+        )
+        n_out = (
+            jnp.exp(m_in + btot_i - m_out)[:, :, None] * n_in
+            + jnp.einsum("bsh,bshd->bhd", w_end, k_i)
+        )
+        return (s_out, n_out, m_out), h_out
+
+    xs = (
+        bcum.transpose(1, 0, 2, 3),
+        btot.transpose(1, 0, 2),
+        a.transpose(1, 0, 2, 3),
+        m_intra.transpose(1, 0, 2, 3),
+        qc.transpose(1, 0, 2, 3, 4),
+        kc.transpose(1, 0, 2, 3, 4),
+        vc.transpose(1, 0, 2, 3, 4),
+    )
+    (s_f, n_f, m_f), hs = jax.lax.scan(scan_chunk, (s0, n0, m0), xs)
+    h_seq = hs.transpose(1, 0, 2, 3, 4).reshape(b, t, h, dh)
+    return h_seq, (s_f, n_f, m_f)

@@ -126,3 +126,33 @@ def test_classifier_shapes():
     params = model.init(jax.random.PRNGKey(0), tokens)
     out = model.apply(params, tokens)
     assert out.shape == (2, 9)
+
+
+def test_mlstm_chunkwise_matches_sequential():
+    from musicgen_tpu.ops.mlstm import mlstm_chunkwise
+
+    rng = np.random.default_rng(5)
+    q, k, v, ig, fg = _mlstm_inputs(rng, b=2, t=48, h=3, dh=8)
+    y_ref = mlstm_sequential(q, k, v, ig, fg)
+    for chunk in (8, 16, 48):
+        y_c, state = mlstm_chunkwise(q, k, v, ig, fg, chunk=chunk)
+        np.testing.assert_allclose(
+            np.asarray(y_c), np.asarray(y_ref), rtol=2e-4, atol=2e-4,
+            err_msg=f"chunk={chunk}",
+        )
+
+
+def test_mlstm_chunkwise_state_resume():
+    from musicgen_tpu.ops.mlstm import mlstm_chunkwise
+
+    rng = np.random.default_rng(6)
+    q, k, v, ig, fg = _mlstm_inputs(rng, b=1, t=32, h=2, dh=8)
+    y_full, s_full = mlstm_chunkwise(q, k, v, ig, fg, chunk=8)
+    y1, s1 = mlstm_chunkwise(q[:, :16], k[:, :16], v[:, :16], ig[:, :16], fg[:, :16], chunk=8)
+    y2, s2 = mlstm_chunkwise(
+        q[:, 16:], k[:, 16:], v[:, 16:], ig[:, 16:], fg[:, 16:], chunk=8,
+        initial_state=s1,
+    )
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y_full[:, 16:]), rtol=2e-4, atol=2e-4)
+    for a, b_ in zip(s2, s_full):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4)
