@@ -169,3 +169,24 @@ def test_random_snippet():
     rs = RandomSnippet([c], width=16)
     batch = rs.sample(3)
     assert batch.shape == (3, 4, 128, 16)
+
+
+def test_superres_and_encoder_unet_shapes():
+    from musicgen_tpu.diffusion import SuperResModel, EncoderUNetModel
+
+    cfg = UNetConfig(
+        in_channels=2, model_channels=8, out_channels=4, num_res_blocks=1,
+        attention_resolutions=(2,), channel_mult=(1, 2), num_heads=2,
+    )
+    sr = SuperResModel(cfg, dtype=jnp.float32)
+    x = jnp.zeros((1, 2, 16, 16))
+    low = jnp.zeros((1, 2, 8, 8))
+    t = jnp.asarray([3])
+    params = sr.init(jax.random.PRNGKey(0), x, t, low)
+    out = sr.apply(params, x, t, low)
+    assert out.shape == (1, 4, 16, 16)
+
+    enc = EncoderUNetModel(cfg, num_classes=7, dtype=jnp.float32)
+    p2 = enc.init(jax.random.PRNGKey(0), x, t)
+    logits = enc.apply(p2, x, t)
+    assert logits.shape == (1, 7)
