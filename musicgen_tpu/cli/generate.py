@@ -42,6 +42,9 @@ def main() -> None:
     p.add_argument("--no-metadata", action="store_true")
     p.add_argument("--retain", action="store_true")
     p.add_argument("--greedy", action="store_true")
+    p.add_argument("--reference-windowing", action="store_true",
+                   help="exact reference semantics: re-forward the slid "
+                        "window per token (O(window)/token; validation only)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
@@ -85,10 +88,18 @@ def main() -> None:
             meta = jnp.zeros_like(meta)
 
         print(f"Processing band: {band}")
-        streams = generate(
-            model, params, args.model, src, meta, args.length, block_len,
-            jax.random.PRNGKey(args.seed), greedy=args.greedy,
-        )
+        if args.reference_windowing:
+            from ..sample.sampler import reference_windowed_generate
+
+            streams = reference_windowed_generate(
+                model, params, src, meta, args.length, block_len,
+                jax.random.PRNGKey(args.seed), greedy=args.greedy,
+            )
+        else:
+            streams = generate(
+                model, params, args.model, src, meta, args.length, block_len,
+                jax.random.PRNGKey(args.seed), greedy=args.greedy,
+            )
         streams = np.asarray(streams)
         for i in range(streams.shape[0]):
             toks = streams[i] if args.retain else streams[i][-(args.length + 300):]
