@@ -75,3 +75,19 @@ def preprocess_midi_files(
                 print(f"[preprocess] skipping {path}: {type(e).__name__}: {e}")
             continue
     return count
+
+
+def remove_short_npy_files(root: str, min_length: int = 1030, dry_run: bool = False) -> int:
+    """Delete token files shorter than min_length (reference:
+    scripts/fix_dataset.ipynb `remove_short_npy_files`). Returns count."""
+    removed = 0
+    for path in find_files_by_extensions(root, [".npy"]):
+        try:
+            n = np.load(path, mmap_mode="r").shape[0]
+        except Exception:
+            continue
+        if n < min_length:
+            if not dry_run:
+                os.remove(path)
+            removed += 1
+    return removed

@@ -201,3 +201,17 @@ def test_split_deterministic():
     np.testing.assert_array_equal(s1.train_indices, s2.train_indices)
     assert len(s1.test_indices) == 20
     assert len(set(s1.train_indices) & set(s1.test_indices)) == 0
+
+
+def test_remove_short_npy_files(tmp_path):
+    from musicgen_tpu.data.preprocess import remove_short_npy_files
+
+    d = tmp_path / "np" / "Band"
+    d.mkdir(parents=True)
+    np.save(d / "short.npy", np.arange(100, dtype=np.int64))
+    np.save(d / "long.npy", np.arange(2000, dtype=np.int64))
+    assert remove_short_npy_files(str(tmp_path / "np"), min_length=1030, dry_run=True) == 1
+    assert (d / "short.npy").exists()
+    assert remove_short_npy_files(str(tmp_path / "np"), min_length=1030) == 1
+    assert not (d / "short.npy").exists()
+    assert (d / "long.npy").exists()
