@@ -183,3 +183,39 @@ def test_fused_tail_matches_xla_path():
     vals, idxs = fused_filter_penalty_top3(logits, mask_rows, hist, interpret=True)
     np.testing.assert_array_equal(np.asarray(idxs), np.asarray(ref_idx))
     np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals), rtol=1e-5, atol=1e-5)
+
+
+def test_transformer_sampling_across_ring_wraparound():
+    """Generate past the window size with the transformer: the ring-KV slots
+    wrap and evict; streams must stay deterministic and grammatical."""
+    from musicgen_tpu.config import TransformerConfig
+    from musicgen_tpu.models.transformer import TransformerLM
+
+    L = 16
+    cfg = TransformerConfig(
+        n_embd=32, n_heads=4, n_layer=2, block_len=L, dropout=0.0,
+        vocab_size=VOCAB.vocab_size, metadata_vocab_size=9,
+    )
+    model = TransformerLM(cfg)
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray([_random_stream(rng, L), _random_stream(rng, L)], jnp.int32)
+    meta = jnp.asarray(rng.integers(0, 9, (2, NUM_META)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), prompt, meta)
+
+    prefill, step = make_sampler(model, "transformer", block_len=L)
+    n_new = 3 * L  # wraps the ring twice
+    cfg_s = SamplerConfig(num_tokens=n_new, greedy=True, ring_size=2048)
+    init_logits, state = prefill(params, prompt, meta)
+    t1 = sample_tokens(step, params, init_logits, state, prompt, cfg_s,
+                       jax.random.PRNGKey(1))
+    init_logits, state = prefill(params, prompt, meta)
+    t2 = sample_tokens(step, params, init_logits, state, prompt, cfg_s,
+                       jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))  # greedy det.
+
+    allowed = {0: {1}, 1: {2}, 2: {3, 4}, 3: {4}, 4: {0}}
+    stream = np.concatenate([np.asarray(prompt), np.asarray(t1)], axis=1)
+    buckets = np.asarray(field_bucket(jnp.asarray(stream)))
+    for b in range(2):
+        for t in range(L, stream.shape[1]):
+            assert buckets[b, t] in allowed[buckets[b, t - 1]], f"pos {t}"
