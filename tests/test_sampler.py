@@ -219,3 +219,44 @@ def test_transformer_sampling_across_ring_wraparound():
     for b in range(2):
         for t in range(L, stream.shape[1]):
             assert buckets[b, t] in allowed[buckets[b, t - 1]], f"pos {t}"
+
+
+def test_xlstm_sampling_grammatical():
+    """Sampler-level coverage for the xlstm adapter kind."""
+    from musicgen_tpu.config import XLSTMConfig
+    from musicgen_tpu.models.xlstm import XLSTMLM
+
+    cfg = XLSTMConfig(
+        embedding_dim=32, num_blocks=2, slstm_at=(1,), num_heads=4,
+        context_length=22, vocab_size=VOCAB.vocab_size, metadata_vocab_size=9,
+    )
+    model = XLSTMLM(cfg)
+    rng = np.random.default_rng(1)
+    prompt = jnp.asarray([_random_stream(rng, 16)], jnp.int32)
+    meta = jnp.asarray(rng.integers(0, 9, (1, NUM_META)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), prompt, meta)
+
+    prefill, step = make_sampler(model, "xlstm", block_len=16)
+    cfg_s = SamplerConfig(num_tokens=20, greedy=True)
+    init_logits, state = prefill(params, prompt, meta)
+    toks = sample_tokens(step, params, init_logits, state, prompt, cfg_s,
+                         jax.random.PRNGKey(3))
+    allowed = {0: {1}, 1: {2}, 2: {3, 4}, 3: {4}, 4: {0}}
+    stream = np.concatenate([np.asarray(prompt), np.asarray(toks)], axis=1)
+    buckets = np.asarray(field_bucket(jnp.asarray(stream)))
+    for t in range(16, stream.shape[1]):
+        assert buckets[0, t] in allowed[buckets[0, t - 1]]
+
+
+def test_generate_wrapper_jit():
+    """The end-user generate() wrapper under jit (the production path)."""
+    import jax as _jax
+    from musicgen_tpu.sample.sampler import generate
+
+    model, params, prompt, meta = _mamba_setup(prompt_len=16)
+    streams = generate(
+        model, params, "mamba", prompt, meta, num_tokens=10, block_len=16,
+        rng=_jax.random.PRNGKey(0), greedy=True, jit=True,
+    )
+    assert streams.shape == (2, 26)
+    np.testing.assert_array_equal(np.asarray(streams[:, :16]), np.asarray(prompt))
