@@ -35,7 +35,7 @@ def preprocess_midi_files(
 ) -> int:
     """Returns the number of files successfully tokenized.
 
-    Uses the C++ tokenizer (native/midi_tokenizer.cc, ~40x the Python codec)
+    Uses the C++ tokenizer (native/midi_tokenizer.cc, ~30x the Python codec)
     when built; parity is test-enforced, and the Python path is the fallback.
     """
     from ..midi import native

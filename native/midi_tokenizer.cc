@@ -8,7 +8,8 @@
 // over the 17,914-token vocabulary (reference semantics:
 // processing/processing.py:57-152). The reference preprocesses thousands of
 // files through pretty_midi in Python (processing/processing.py:24-55);
-// this runs the same pipeline ~40x faster for bulk corpus builds.
+// this runs the same pipeline ~30x faster for bulk corpus builds (measured 29x
+// on a 2000-note file).
 //
 // Exposed via a C ABI for ctypes (musicgen_tpu/midi/native.py):
 //   int64_t midi_tokenize(const uint8_t* data, int64_t len,
