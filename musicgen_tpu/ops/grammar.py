@@ -28,13 +28,19 @@ import jax.numpy as jnp
 from ..config import VOCAB, VocabLayout
 
 
-def grammar_mask(layout: VocabLayout = VOCAB) -> jax.Array:
+def grammar_mask(
+    layout: VocabLayout = VOCAB, length_weights: str = "linspace"
+) -> jax.Array:
     """(5, vocab) float32 allowed-next-token weights.
 
     Built from iota arithmetic (NOT a dense literal) so that jitted programs
     using it stay small — this environment ships compiled modules over an
     HTTP boundary with a strict size limit, and a 5x17914 dense constant
     alone blows past it.
+
+    length_weights: 'linspace' (the reference's live path, train.py:18) or
+    'empirical' (the frozen corpus-measured tensor from
+    scripts/length_distribution.py — see ops/length_distribution.py).
     """
     d = layout.disc
     v = layout.vocab_size
@@ -44,10 +50,17 @@ def grammar_mask(layout: VocabLayout = VOCAB) -> jax.Array:
         return ((ids >= lo) & (ids < hi)).astype(jnp.float32)
 
     row0 = in_range(layout.dyn_start, layout.length_start - 1)
-    # linspace(1, 3, d.length - 1) over the length range (last token excluded)
-    lin = 1.0 + 2.0 * (ids - layout.length_start).astype(jnp.float32) / float(
-        d.length - 2
-    )
+    if length_weights == "empirical":
+        from .length_distribution import empirical_length_weights
+
+        emp = empirical_length_weights(d.length - 1)  # small (511,) constant
+        off = jnp.clip(ids - layout.length_start, 0, d.length - 2)
+        lin = emp[off]
+    else:
+        # linspace(1, 3, d.length - 1) over the length range (last excluded)
+        lin = 1.0 + 2.0 * (ids - layout.length_start).astype(jnp.float32) / float(
+            d.length - 2
+        )
     row1 = in_range(layout.length_start, layout.time_start - 1) * lin
     row2 = in_range(layout.time_start, layout.tempo_start - 1) + in_range(
         layout.tempo_start, v
