@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import DEFAULT_CONFIG, TrainValues
-from ..data.dataset import TokenDataset, make_loaders
+from ..data.dataset import TokenDataset, full_batches, make_loaders
 from ..eval.accuracy import evaluate_accuracy
 from ..eval.classifier_eval import evaluate_success_rates
 from ..eval.timing import time_forward
@@ -45,8 +45,16 @@ def main() -> None:
     pa.add_argument("--ckpt", required=True)
     pa.add_argument("--data", required=True)
     pa.add_argument("--metadata", required=True)
-    pa.add_argument("--batches", type=int, default=50)
+    pa.add_argument("--batches", type=int, default=None,
+                    help="subsample N random test batches; default is the "
+                         "reference protocol: one deterministic full pass "
+                         "over the corpus (Test Accuracy.ipynb, "
+                         "get_dataloader_full(shuffle=False))")
     pa.add_argument("--block-len", type=int, default=2048)
+    pa.add_argument("--crop", choices=["random", "start", "end"],
+                    default="random",
+                    help="per-file crop (reference ships random; end gives "
+                         "a fully deterministic pass)")
     pa.add_argument("--out", default=None)
 
     pc = sub.add_parser("classifier")
@@ -55,7 +63,9 @@ def main() -> None:
     pc.add_argument("--metadata", required=True)
     pc.add_argument("--band-start", type=int, required=True,
                     help="first band token id (reference uses 314)")
-    pc.add_argument("--batches", type=int, default=50)
+    pc.add_argument("--batches", type=int, default=None,
+                    help="subsample N random batches; default: one full "
+                         "deterministic pass (test_classifier.ipynb protocol)")
     pc.add_argument("--out", default=None)
 
     pt = sub.add_parser("timing")
@@ -69,9 +79,13 @@ def main() -> None:
     if args.cmd == "accuracy":
         model, params = _load(args.model, args.ckpt)
         ds = TokenDataset.from_directory(args.data, args.metadata,
-                                         block_len=args.block_len)
-        _, test_iter = make_loaders(ds, TrainValues(block_len=args.block_len))
-        batches = (test_iter.sample_batch() for _ in range(args.batches))
+                                         block_len=args.block_len,
+                                         crop=args.crop)
+        if args.batches is None:
+            batches = full_batches(ds, cfg.values.batch_size)
+        else:
+            _, test_iter = make_loaders(ds, TrainValues(block_len=args.block_len))
+            batches = (test_iter.sample_batch() for _ in range(args.batches))
         acc = evaluate_accuracy(
             lambda p_, s, m: model.apply(p_, s, m), params, batches
         )
@@ -85,12 +99,14 @@ def main() -> None:
         ds = TokenDataset.from_directory(
             args.data, args.metadata, block_len=cfg.classifier.context_length
         )
-        _, test_iter = make_loaders(
-            ds, TrainValues(block_len=cfg.classifier.context_length)
-        )
-        batches = (
-            (b[0], b[2]) for b in (test_iter.sample_batch() for _ in range(args.batches))
-        )
+        if args.batches is None:
+            raw = full_batches(ds, cfg.values.batch_size)
+        else:
+            _, test_iter = make_loaders(
+                ds, TrainValues(block_len=cfg.classifier.context_length)
+            )
+            raw = (test_iter.sample_batch() for _ in range(args.batches))
+        batches = ((b[0], b[2]) for b in raw)
         rates = evaluate_success_rates(
             lambda p_, t_: model.apply(p_, t_), params, batches, args.band_start
         )

@@ -176,6 +176,24 @@ class BatchIterator:
             yield self.sample_batch()
 
 
+def full_batches(
+    dataset: TokenDataset,
+    batch_size: int,
+    indices: np.ndarray | None = None,
+) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Deterministic sequential pass over the whole dataset (or the given
+    index subset) in batch chunks — the reference's
+    `get_dataloader_full(shuffle=False)` (dataset.py:324-332), used by the
+    Test Accuracy notebook for its full-corpus evaluation protocol. The
+    short final chunk is dropped, matching a drop_last-style fixed batch
+    shape (jit-friendly: one compiled shape)."""
+    idx = np.arange(len(dataset)) if indices is None else np.asarray(indices)
+    for lo in range(0, len(idx) - batch_size + 1, batch_size):
+        chosen = idx[lo : lo + batch_size]
+        src, trg, meta = zip(*(dataset[int(i)] for i in chosen))
+        yield np.stack(src), np.stack(trg), np.stack(meta)
+
+
 def make_loaders(
     dataset: TokenDataset,
     values: TrainValues = TrainValues(),
