@@ -44,6 +44,11 @@ def main() -> None:
     p.add_argument("--bf16", action="store_true",
                    help="bf16 compute (fp32 params/loss; ~2x transformer "
                         "training, BENCHMARKS.md)")
+    p.add_argument("--attention", choices=["auto", "xla", "flash"],
+                   default="auto",
+                   help="transformer attention path: flash = fused Pallas "
+                        "fwd+bwd kernels (TPU; default on TPU), xla = the "
+                        "oracle implementation (default elsewhere)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
@@ -51,6 +56,14 @@ def main() -> None:
         jax.distributed.initialize()
 
     cfg = DEFAULT_CONFIG
+    if args.model == "transformer":
+        impl = args.attention
+        if impl == "auto":
+            impl = "flash" if jax.default_backend() != "cpu" else "xla"
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, transformer=_dc.replace(
+            cfg.transformer, attention_impl=impl))
     values = TrainValues(
         block_len=args.block_len or cfg.values.block_len,
         batch_size=args.batch_size or cfg.values.batch_size,

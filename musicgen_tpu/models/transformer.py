@@ -65,7 +65,22 @@ class RelPosSelfAttention(nn.Module):
         c = self.cfg
         q, k, v = self._split(self.q_proj(x)), self._split(self.k_proj(x)), self._split(self.v_proj(x))
         scale = float(c.n_embd) ** -0.5  # reference uses model width, not head_dim
-        out = relpos_attention(q, k, v, self.rel_pos_emb.astype(self.dtype), scale)
+        if c.attention_impl == "flash":
+            # Fused flash fwd + custom-VJP flash bwd (dQ/dK/dV/dRel): the
+            # training hot path never materializes the (B,H,T,T) scores.
+            from ..ops.pallas_attention import flash_relpos_attention_train
+
+            out = flash_relpos_attention_train(
+                q, k, v, self.rel_pos_emb.astype(self.dtype), scale
+            )
+        else:
+            # attention_impl == "torch_exact" keeps torch _rel_shift's wrapped
+            # above-diagonal BD values (visible only in the meta columns of
+            # meta rows) — bit-parity mode for the cross-framework harness.
+            out = relpos_attention(
+                q, k, v, self.rel_pos_emb.astype(self.dtype), scale,
+                torch_exact_bd=(c.attention_impl == "torch_exact"),
+            )
         # NB: the reference applies dropout to attention probabilities
         # (model_transformer.py:80); we apply it to the attended values, which
         # is the fusable form with identical expectation.

@@ -47,3 +47,63 @@ def test_flash_multihead_batch():
     ref = relpos_attention(q, k, v, rel, scale)
     got = flash_relpos_attention(q, k, v, rel, scale, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+def test_flash_backward_matches_xla_grads():
+    """custom_vjp backward (dQ/dK/dV/dRel) vs jax.grad through the XLA
+    oracle, at bf16-matmul tolerance. Covers the banded dRel accumulation
+    and the inverse shear (stride = L-1 === -1 mod L roll)."""
+    from musicgen_tpu.ops.pallas_attention import flash_relpos_attention_train
+
+    b, h, t, d = 1, 2, 256, 128
+    scale = 1.0 / np.sqrt(h * d)
+    rng = np.random.default_rng(0)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+        for _ in range(3)
+    )
+    rel = jnp.asarray(rng.standard_normal((h, t, d)) * 0.02, jnp.float32)
+
+    def loss_ref(q, k, v, rel):
+        return jnp.sum(relpos_attention(q, k, v, rel, scale) ** 2)
+
+    def loss_flash(q, k, v, rel):
+        return jnp.sum(
+            flash_relpos_attention_train(q, k, v, rel, scale, interpret=True) ** 2
+        )
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, rel)
+    g_fla = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, rel)
+    for name, a, b_ in zip("dq dk dv drel".split(), g_ref, g_fla):
+        err = float(jnp.max(jnp.abs(a - b_)))
+        den = float(jnp.max(jnp.abs(a))) + 1e-9
+        assert err / den < 3e-2, f"{name}: rel err {err / den}"
+
+
+def test_flash_backward_unaligned_t():
+    """Pad path: gradients must not leak into/out of the padded region."""
+    from musicgen_tpu.ops.pallas_attention import flash_relpos_attention_train
+
+    b, h, t, d = 1, 1, 198, 128
+    scale = 1.0 / np.sqrt(h * d)
+    rng = np.random.default_rng(1)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+        for _ in range(3)
+    )
+    rel = jnp.asarray(rng.standard_normal((h, t, d)) * 0.02, jnp.float32)
+
+    def loss_ref(q, k, v, rel):
+        return jnp.sum(relpos_attention(q, k, v, rel, scale) ** 2)
+
+    def loss_flash(q, k, v, rel):
+        return jnp.sum(
+            flash_relpos_attention_train(q, k, v, rel, scale, interpret=True) ** 2
+        )
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, rel)
+    g_fla = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, rel)
+    for name, a, b_ in zip("dq dk dv drel".split(), g_ref, g_fla):
+        err = float(jnp.max(jnp.abs(a - b_)))
+        den = float(jnp.max(jnp.abs(a))) + 1e-9
+        assert err / den < 3e-2, f"{name}: rel err {err / den}"
