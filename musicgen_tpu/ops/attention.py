@@ -55,20 +55,25 @@ def relpos_attention(
     rel_emb: jax.Array,  # (H, T, D) learnable relative-position embeddings
     scale: float,
     n_meta: int = NUM_META,
+    torch_exact_bd: bool = False,
 ) -> jax.Array:
     """Full-sequence attention. Returns (B, H, T, D)."""
     t = q.shape[2]
     ac = jnp.einsum("bhtd,bhsd->bhts", q, k)
     bd = jnp.einsum("bhtd,hsd->bhts", q, rel_emb[:, :t, :])
     bd = rel_shift(bd)
-    # Zero BD above the diagonal. The reference's torch rel_shift leaves
-    # deterministic garbage there (wrapped next-row values) which its mask
-    # keeps visible in the always-visible metadata columns for rows < 6
-    # (model_transformer.py:14,84-90); we define those entries as 0 instead —
-    # consistent with the Pallas kernel and the cached decode path.
-    ti = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
-    si = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
-    bd = jnp.where((si <= ti)[None, None], bd, 0.0)
+    if not torch_exact_bd:
+        # Zero BD above the diagonal. The reference's torch rel_shift leaves
+        # deterministic garbage there (wrapped next-row values) which its mask
+        # keeps visible in the always-visible metadata columns for rows < 6
+        # (model_transformer.py:14,84-90); we define those entries as 0
+        # instead — consistent with the Pallas kernel and the cached decode
+        # path. torch_exact_bd=True keeps the wrapped values (rel_shift here
+        # IS the torch pad+view trick, so they match bit-for-bit) — the mode
+        # the cross-framework parity harness uses.
+        ti = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+        si = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+        bd = jnp.where((si <= ti)[None, None], bd, 0.0)
     scores = (ac + bd) * scale
     scores = scores + meta_causal_mask(t, n_meta, scores.dtype)[None, None]
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
