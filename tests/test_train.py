@@ -215,3 +215,114 @@ def test_remove_short_npy_files(tmp_path):
     assert remove_short_npy_files(str(tmp_path / "np"), min_length=1030) == 1
     assert not (d / "short.npy").exists()
     assert (d / "long.npy").exists()
+
+
+def test_full_batches_deterministic_pass(tmp_path):
+    """full_batches covers every file exactly once, in order, in fixed-size
+    chunks (the reference's get_dataloader_full(shuffle=False) protocol)."""
+    from musicgen_tpu.data.dataset import full_batches
+
+    meta_json = {"artists": [{"name": "B", "year_started": 1815,
+                              "genres": ["Romantic"]}]}
+    mpath = tmp_path / "metadata.json"
+    mpath.write_text(json.dumps(meta_json))
+    d = tmp_path / "np" / "B"
+    d.mkdir(parents=True)
+    for i in range(7):
+        np.save(d / f"f{i}.npy", np.full(40, i, dtype=np.int64))
+
+    ds = TokenDataset.from_directory(tmp_path / "np", mpath, block_len=16,
+                                     crop="start")
+    batches = list(full_batches(ds, batch_size=2))
+    assert len(batches) == 3  # 7 files, batch 2, short tail dropped
+    seen = [int(src[0][0]) for src, _, _ in batches] + [
+        int(src[1][0]) for src, _, _ in batches
+    ]
+    assert sorted(seen) == sorted(
+        int(np.load(p)[0]) for p in ds.file_paths[:6]
+    )
+    # deterministic across invocations
+    again = list(full_batches(ds, batch_size=2))
+    for (a, _, _), (b, _, _) in zip(batches, again):
+        np.testing.assert_array_equal(a, b)
+
+
+def _single_device_step(model, params, optimizer, src, trg, meta):
+    """Plain unsharded train step: the parity oracle for the SPMD path."""
+    from musicgen_tpu.train.loss import filtered_cross_entropy as fce
+
+    def loss_fn(p):
+        return fce(src, model.apply(p, src, meta), trg)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    import optax
+
+    updates, _ = optimizer.update(grads, optimizer.init(params), params)
+    new_params = optax.apply_updates(params, updates)
+    return loss, grads, new_params
+
+
+def test_distributed_step_matches_single_device():
+    """A wrong sharding spec must fail CI: the 8-device SPMD step must
+    produce the SAME loss and updated params as the plain single-device
+    step on the identical batch (VERDICT round-1 item 7). Covers both the
+    pure-DP mesh and the DPxTP mesh with vocab-sharded lm_head."""
+    from musicgen_tpu.train.trainer import make_optimizer as mk_opt
+
+    model = MambaLM(MambaConfig(
+        d_model=32, n_layers=2, d_state=8, headdim=8, chunk_size=8,
+        vocab_size=VOCAB.vocab_size, metadata_vocab_size=17,
+    ))
+    rng = np.random.default_rng(1)
+    src, trg, meta = _batch(rng, b=8, t=16)
+    params = model.init(jax.random.PRNGKey(0), src, meta)
+    optimizer = mk_opt()
+    ref_loss, _, ref_params = _single_device_step(
+        model, params, optimizer, src, trg, meta
+    )
+
+    for data, tp in ((8, 1), (2, 4)):
+        mesh = make_mesh(MeshConfig(data=data, model=tp), jax.devices()[:8])
+        # step_fn donates its inputs; give each mesh its own param copy so
+        # donation can't delete buffers shared with `params`/`ref_params`.
+        fresh = jax.tree.map(lambda x: jnp.array(np.asarray(x)), params)
+        p, o, step_fn = build_distributed_training(model, fresh, mesh)
+        new_p, _, loss = step_fn(p, o, src, trg, meta)
+        np.testing.assert_allclose(
+            float(loss), float(ref_loss), rtol=1e-5,
+            err_msg=f"mesh {data}x{tp} loss != single-device loss",
+        )
+        flat_ref = jax.tree_util.tree_leaves(ref_params)
+        flat_new = jax.tree_util.tree_leaves(jax.device_get(new_p))
+        for a, b in zip(flat_ref, flat_new):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6,
+                err_msg=f"mesh {data}x{tp} param drift after one step",
+            )
+
+
+def test_tp_logits_match_replicated():
+    """Vocab-sharded (TP) forward logits == fully-replicated logits.
+    Catches a subtly wrong _param_spec for the lm_head/embedding shards."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from musicgen_tpu.parallel.mesh import batch_sharding, param_shardings
+
+    model = MambaLM(MambaConfig(
+        d_model=32, n_layers=2, d_state=8, headdim=8, chunk_size=8,
+        vocab_size=VOCAB.vocab_size, metadata_vocab_size=17,
+    ))
+    rng = np.random.default_rng(2)
+    src, trg, meta = _batch(rng, b=4, t=16)
+    params = model.init(jax.random.PRNGKey(0), src, meta)
+    ref_logits = np.asarray(model.apply(params, src, meta))
+
+    mesh = make_mesh(MeshConfig(data=2, model=4), jax.devices()[:8])
+    pspec = param_shardings(params, mesh)
+    sharded = jax.device_put(params, pspec)
+    fwd = jax.jit(
+        model.apply,
+        in_shardings=(pspec, batch_sharding(mesh), batch_sharding(mesh)),
+        out_shardings=NamedSharding(mesh, P()),
+    )
+    tp_logits = np.asarray(jax.device_get(fwd(sharded, src, meta)))
+    np.testing.assert_allclose(tp_logits, ref_logits, rtol=2e-4, atol=2e-5)
