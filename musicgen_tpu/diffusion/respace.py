@@ -108,6 +108,11 @@ class SpacedDiffusion:
     def p_sample_loop(self, model_fn, shape, rng, **kw):
         return self.base.p_sample_loop(self.wrap_model(model_fn), shape, rng, **kw)
 
+    def p_sample_loop_scan(self, model_fn, shape, rng, **kw):
+        return self.base.p_sample_loop_scan(
+            self.wrap_model(model_fn), shape, rng, **kw
+        )
+
     def training_losses(self, model_fn, x_start, t, rng):
         return self.base.training_losses(self.wrap_model(model_fn), x_start, t, rng)
 

@@ -107,15 +107,21 @@ class ResBlock(nn.Module):
 
 class AttentionBlock(nn.Module):
     num_heads: int = 1
+    num_head_channels: int = -1  # if set, heads = channels // head_channels
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        dh = c // self.num_heads
+        heads = (
+            c // self.num_head_channels
+            if self.num_head_channels != -1
+            else self.num_heads
+        )
+        dh = c // heads
         xn = GroupNorm32(name="norm")(x)
         qkv = nn.Conv(3 * c, (1, 1), dtype=self.dtype, name="qkv")(xn)
-        qkv = qkv.reshape(b, h * w, 3, self.num_heads, dh)
+        qkv = qkv.reshape(b, h * w, 3, heads, dh)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         scale = dh ** -0.5
         attn = jnp.einsum("bthd,bshd->bhts", q, k) * scale
@@ -123,6 +129,38 @@ class AttentionBlock(nn.Module):
         out = jnp.einsum("bhts,bshd->bthd", attn, v).reshape(b, h, w, c)
         out = zero_init_conv(c, (1, 1), self.dtype, "proj")(out)
         return x + out
+
+
+class AttentionPool2d(nn.Module):
+    """CLIP-style attention pooling (reference unet.py:37-66): prepend the
+    spatial mean as a query token, add a learned positional embedding, one
+    multi-head attention round, project, return the pooled (first) token."""
+
+    num_head_channels: int
+    output_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # x: (B, H, W, C)
+        b, h, w, c = x.shape
+        seq = x.reshape(b, h * w, c)
+        seq = jnp.concatenate([seq.mean(axis=1, keepdims=True), seq], axis=1)
+        pos = self.param(
+            "positional_embedding",
+            nn.initializers.normal(stddev=1.0 / c ** 0.5),
+            (h * w + 1, c),
+        )
+        seq = seq + pos[None].astype(seq.dtype)
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv_proj")(seq)
+        heads = c // self.num_head_channels
+        dh = c // heads
+        qkv = qkv.reshape(b, h * w + 1, 3, heads, dh)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        attn = jnp.einsum("bthd,bshd->bhts", q, k) * dh ** -0.5
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhts,bshd->bthd", attn, v).reshape(b, h * w + 1, c)
+        out = nn.Dense(self.output_dim, dtype=self.dtype, name="c_proj")(out)
+        return out[:, 0]
 
 
 class Downsample(nn.Module):
@@ -161,6 +199,13 @@ class UNetConfig:
     dropout: float = 0.0
     channel_mult: Tuple[int, ...] = (1, 2, 3, 4)
     num_heads: int = 4
+    # heads = channels // num_head_channels when != -1 (reference unet.py:721)
+    num_head_channels: int = -1
+    # learned up/downsampling convs vs pooling/nearest (reference :717)
+    conv_resample: bool = True
+    # rematerialize ResBlocks in the backward pass (the TPU-native form of
+    # reference nn.py:140-186 CheckpointFunction): trade FLOPs for HBM
+    use_checkpoint: bool = False
 
 
 class UNetModel(nn.Module):
@@ -179,6 +224,12 @@ class UNetModel(nn.Module):
         emb = nn.Dense(4 * c.model_channels, dtype=self.dtype, name="time1")(emb)
         emb = nn.Dense(4 * c.model_channels, dtype=self.dtype, name="time2")(nn.silu(emb))
 
+        res_block = ResBlock
+        if c.use_checkpoint:
+            # flax remat: recompute ResBlock activations in the backward pass
+            # (reference nn.py:140-186 CheckpointFunction, the TPU-native way)
+            res_block = nn.remat(ResBlock, static_argnums=(2,))
+
         hs = []
         h = nn.Conv(c.model_channels, (3, 3), padding="SAME", dtype=self.dtype,
                     name="conv_in")(x)
@@ -187,31 +238,36 @@ class UNetModel(nn.Module):
         # Encoder
         for level, mult in enumerate(c.channel_mult):
             for i in range(c.num_res_blocks):
-                h = ResBlock(mult * c.model_channels, c.dropout, dtype=self.dtype,
-                             name=f"down_{level}_{i}")(h, emb, deterministic)
+                h = res_block(mult * c.model_channels, c.dropout, dtype=self.dtype,
+                              name=f"down_{level}_{i}")(h, emb, deterministic)
                 if ds in c.attention_resolutions:
-                    h = AttentionBlock(c.num_heads, dtype=self.dtype,
+                    h = AttentionBlock(c.num_heads, c.num_head_channels,
+                                       dtype=self.dtype,
                                        name=f"down_attn_{level}_{i}")(h)
                 hs.append(h)
             if level != len(c.channel_mult) - 1:
-                h = Downsample(dtype=self.dtype, name=f"down_{level}_ds")(h)
+                h = Downsample(c.conv_resample, dtype=self.dtype,
+                               name=f"down_{level}_ds")(h)
                 hs.append(h)
                 ds *= 2
         # Middle
-        h = ResBlock(h.shape[-1], c.dropout, dtype=self.dtype, name="mid_1")(h, emb, deterministic)
-        h = AttentionBlock(c.num_heads, dtype=self.dtype, name="mid_attn")(h)
-        h = ResBlock(h.shape[-1], c.dropout, dtype=self.dtype, name="mid_2")(h, emb, deterministic)
+        h = res_block(h.shape[-1], c.dropout, dtype=self.dtype, name="mid_1")(h, emb, deterministic)
+        h = AttentionBlock(c.num_heads, c.num_head_channels, dtype=self.dtype,
+                           name="mid_attn")(h)
+        h = res_block(h.shape[-1], c.dropout, dtype=self.dtype, name="mid_2")(h, emb, deterministic)
         # Decoder
         for level, mult in reversed(list(enumerate(c.channel_mult))):
             for i in range(c.num_res_blocks + 1):
                 h = jnp.concatenate([h, hs.pop()], axis=-1)
-                h = ResBlock(mult * c.model_channels, c.dropout, dtype=self.dtype,
-                             name=f"up_{level}_{i}")(h, emb, deterministic)
+                h = res_block(mult * c.model_channels, c.dropout, dtype=self.dtype,
+                              name=f"up_{level}_{i}")(h, emb, deterministic)
                 if ds in c.attention_resolutions:
-                    h = AttentionBlock(c.num_heads, dtype=self.dtype,
+                    h = AttentionBlock(c.num_heads, c.num_head_channels,
+                                       dtype=self.dtype,
                                        name=f"up_attn_{level}_{i}")(h)
             if level != 0:
-                h = Upsample(dtype=self.dtype, name=f"up_{level}_us")(h)
+                h = Upsample(c.conv_resample, dtype=self.dtype,
+                             name=f"up_{level}_us")(h)
                 ds //= 2
 
         h = nn.silu(GroupNorm32(name="norm_out")(h))
@@ -239,11 +295,18 @@ class SuperResModel(nn.Module):
 
 
 class EncoderUNetModel(nn.Module):
-    """Encoder-half classifier trunk with pooling (reference unet.py:699-912,
-    'adaptive' pooling variant)."""
+    """Encoder-half classifier trunk with pooling (reference unet.py:699-912).
+
+    pool variants (reference :841-871):
+      'adaptive'   — norm, silu, global avg pool, zero-init projection
+      'attention'  — norm, silu, AttentionPool2d (requires num_head_channels)
+      'spatial'    — concat per-stage spatial means -> Linear 2048 -> ReLU
+      'spatial_v2' — same but with GroupNorm + SiLU between the Linears
+    """
 
     cfg: UNetConfig
     num_classes: int = 1000
+    pool: str = "adaptive"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -254,25 +317,61 @@ class EncoderUNetModel(nn.Module):
         emb = nn.Dense(4 * c.model_channels, dtype=self.dtype, name="time1")(emb)
         emb = nn.Dense(4 * c.model_channels, dtype=self.dtype, name="time2")(nn.silu(emb))
 
+        spatial = []
         h = nn.Conv(c.model_channels, (3, 3), padding="SAME", dtype=self.dtype,
                     name="conv_in")(x)
+        if self.pool.startswith("spatial"):
+            spatial.append(jnp.mean(h.astype(jnp.float32), axis=(1, 2)))
         ds = 1
         for level, mult in enumerate(c.channel_mult):
             for i in range(c.num_res_blocks):
                 h = ResBlock(mult * c.model_channels, c.dropout, dtype=self.dtype,
                              name=f"down_{level}_{i}")(h, emb, deterministic)
                 if ds in c.attention_resolutions:
-                    h = AttentionBlock(c.num_heads, dtype=self.dtype,
+                    h = AttentionBlock(c.num_heads, c.num_head_channels,
+                                       dtype=self.dtype,
                                        name=f"down_attn_{level}_{i}")(h)
+                if self.pool.startswith("spatial"):
+                    spatial.append(jnp.mean(h.astype(jnp.float32), axis=(1, 2)))
             if level != len(c.channel_mult) - 1:
-                h = Downsample(dtype=self.dtype, name=f"down_{level}_ds")(h)
+                h = Downsample(c.conv_resample, dtype=self.dtype,
+                               name=f"down_{level}_ds")(h)
+                if self.pool.startswith("spatial"):
+                    spatial.append(jnp.mean(h.astype(jnp.float32), axis=(1, 2)))
                 ds *= 2
         h = ResBlock(h.shape[-1], c.dropout, dtype=self.dtype, name="mid_1")(h, emb, deterministic)
-        h = AttentionBlock(c.num_heads, dtype=self.dtype, name="mid_attn")(h)
+        h = AttentionBlock(c.num_heads, c.num_head_channels, dtype=self.dtype,
+                           name="mid_attn")(h)
         h = ResBlock(h.shape[-1], c.dropout, dtype=self.dtype, name="mid_2")(h, emb, deterministic)
-        h = nn.silu(GroupNorm32(name="norm_out")(h))
-        pooled = jnp.mean(h, axis=(1, 2))  # adaptive avg pool
-        return nn.Dense(self.num_classes, dtype=jnp.float32, name="out")(pooled)
+
+        if self.pool == "adaptive":
+            h = nn.silu(GroupNorm32(name="norm_out")(h))
+            pooled = jnp.mean(h, axis=(1, 2))
+            return nn.Dense(
+                self.num_classes, dtype=jnp.float32,
+                kernel_init=nn.initializers.zeros, name="out",
+            )(pooled)
+        if self.pool == "attention":
+            assert c.num_head_channels != -1, "attention pool needs num_head_channels"
+            h = nn.silu(GroupNorm32(name="norm_out")(h))
+            return AttentionPool2d(
+                c.num_head_channels, self.num_classes, dtype=self.dtype,
+                name="attn_pool",
+            )(h).astype(jnp.float32)
+        if self.pool in ("spatial", "spatial_v2"):
+            spatial.append(jnp.mean(h.astype(jnp.float32), axis=(1, 2)))
+            feats = jnp.concatenate(spatial, axis=-1)
+            z = nn.Dense(2048, dtype=jnp.float32, name="out1")(feats)
+            if self.pool == "spatial_v2":
+                z = _group_norm(z[:, None, None, :],
+                                self.param("out_norm_scale", nn.initializers.ones, (2048,)),
+                                self.param("out_norm_bias", nn.initializers.zeros, (2048,)),
+                                )[:, 0, 0, :]
+                z = nn.silu(z)
+            else:
+                z = nn.relu(z)
+            return nn.Dense(self.num_classes, dtype=jnp.float32, name="out2")(z)
+        raise NotImplementedError(f"Unexpected {self.pool} pooling")
 
 
 def channel_mult_for_size(image_size: int) -> Tuple[int, ...]:

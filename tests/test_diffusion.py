@@ -107,14 +107,20 @@ def test_diffusion_training_step_decreases_loss():
     params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((4,), jnp.int32))
     optimizer = optax.adam(1e-3)
     opt_state = optimizer.init(params)
-    step = make_diffusion_train_step(model, sd, optimizer)
+    step = make_diffusion_train_step(model, sd, optimizer, ema_rate=0.5)
+    ema = jax.tree.map(jnp.array, params)
     losses = []
     key = jax.random.PRNGKey(1)
     for i in range(10):
-        params, opt_state, loss, _ = step(params, opt_state, x, key)
+        params, ema, opt_state, loss, _ = step(params, ema, opt_state, x, key)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
     assert all(np.isfinite(losses))
+    # EMA trails the live params (rate 0.5 over 10 steps: close but not equal)
+    pl = jax.tree_util.tree_leaves(params)
+    el = jax.tree_util.tree_leaves(ema)
+    total = sum(float(jnp.sum(jnp.abs(a - b))) for a, b in zip(pl, el))
+    assert total > 0.0
 
 
 def test_repaint_inpainting_preserves_known_region():
@@ -190,3 +196,105 @@ def test_superres_and_encoder_unet_shapes():
     p2 = enc.init(jax.random.PRNGKey(0), x, t)
     logits = enc.apply(p2, x, t)
     assert logits.shape == (1, 7)
+
+
+def test_encoder_unet_pool_variants():
+    """All four reference pooling heads (unet.py:841-871) produce (B, K)."""
+    from musicgen_tpu.diffusion import EncoderUNetModel
+    import dataclasses
+
+    base = UNetConfig(
+        in_channels=2, model_channels=8, out_channels=4, num_res_blocks=1,
+        attention_resolutions=(2,), channel_mult=(1, 2), num_heads=2,
+    )
+    x = jnp.zeros((2, 2, 16, 16))
+    t = jnp.asarray([3, 7])
+    for pool in ("adaptive", "attention", "spatial", "spatial_v2"):
+        cfg = base
+        if pool == "attention":
+            cfg = dataclasses.replace(base, num_head_channels=4)
+        enc = EncoderUNetModel(cfg, num_classes=5, pool=pool, dtype=jnp.float32)
+        params = enc.init(jax.random.PRNGKey(0), x, t)
+        logits = enc.apply(params, x, t)
+        assert logits.shape == (2, 5), pool
+        assert np.isfinite(np.asarray(logits)).all(), pool
+
+
+def test_attention_pool2d_permutation_behavior():
+    """AttentionPool2d pools over spatial positions: permuting the spatial
+    layout changes only via the positional embedding; with pos emb zeroed it
+    must be permutation-invariant (a pure attention pool)."""
+    from musicgen_tpu.diffusion.unet import AttentionPool2d
+    import flax
+
+    pool = AttentionPool2d(num_head_channels=4, output_dim=6, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 4, 4, 8)), jnp.float32)
+    params = pool.init(jax.random.PRNGKey(0), x)
+    params = flax.core.unfreeze(params)
+    params["params"]["positional_embedding"] = jnp.zeros_like(
+        params["params"]["positional_embedding"]
+    )
+    params = flax.core.freeze(params)
+    out1 = pool.apply(params, x)
+    perm = rng.permutation(16)
+    xp = x.reshape(1, 16, 8)[:, perm].reshape(1, 4, 4, 8)
+    out2 = pool.apply(params, xp)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+    assert out1.shape == (1, 6)
+
+
+def test_update_ema():
+    from musicgen_tpu.diffusion.trainer import update_ema
+
+    ema = {"w": jnp.ones((3,)), "b": jnp.zeros((2,))}
+    new = {"w": jnp.zeros((3,)), "b": jnp.ones((2,))}
+    out = update_ema(ema, new, rate=0.9)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.9)
+    np.testing.assert_allclose(np.asarray(out["b"]), 0.1)
+
+
+def test_unet_remat_matches_plain():
+    """use_checkpoint (flax remat) must not change values or gradients."""
+    import dataclasses
+
+    model, _ = _tiny_model_and_diffusion()
+    cfg_remat = dataclasses.replace(model.cfg, use_checkpoint=True)
+    model_r = UNetModel(cfg_remat, dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 2, 16, 16)),
+                    jnp.float32)
+    t = jnp.asarray([5])
+    params = model.init(jax.random.PRNGKey(0), x, t)
+    out_a = model.apply(params, x, t)
+    out_b = model_r.apply(params, x, t)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-6)
+
+    ga = jax.grad(lambda p: jnp.sum(model.apply(p, x, t) ** 2))(params)
+    gb = jax.grad(lambda p: jnp.sum(model_r.apply(p, x, t) ** 2))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_p_sample_loop_scan_matches_python_loop():
+    """The one-dispatch scan trajectory equals the per-timestep Python loop
+    bit-for-bit (same RNG splitting order), including RePaint jumps."""
+    from musicgen_tpu.diffusion import RePaintConf
+
+    model, sd = _tiny_model_and_diffusion()
+    x = jnp.zeros((1, 2, 16, 16))
+    t = jnp.asarray([0])
+    params = model.init(jax.random.PRNGKey(0), x, t)
+    model_fn = lambda xx, tt: model.apply(params, xx, tt)
+
+    conf = RePaintConf(schedule_jump_params=dict(
+        t_T=sd.num_timesteps, n_sample=1, jump_length=3, jump_n_sample=2,
+    ))
+    times = conf.jump_times()
+    gt = jnp.zeros((1, 2, 16, 16))
+    keep = jnp.ones((1, 2, 16, 16)).at[:, :, :, 8:].set(0.0)
+
+    a = sd.p_sample_loop(model_fn, (1, 2, 16, 16), jax.random.PRNGKey(3),
+                         gt=gt, gt_keep_mask=keep, times=times)
+    b = sd.p_sample_loop_scan(model_fn, (1, 2, 16, 16), jax.random.PRNGKey(3),
+                              gt=gt, gt_keep_mask=keep, times=times)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
