@@ -42,6 +42,21 @@ def main() -> None:
     p.add_argument("--no-metadata", action="store_true")
     p.add_argument("--retain", action="store_true")
     p.add_argument("--greedy", action="store_true")
+    p.add_argument("--sampler", choices=["combined", "many", "top5"],
+                   default="combined",
+                   help="combined: tick-window penalty + per-field top-k "
+                        "(scripts/generate.py); many: 100-token count-penalty "
+                        "argmax (generate_midi_many.py); top5: plain top-5 "
+                        "multinomial (generate_midi.py)")
+    p.add_argument("--block-len", type=int, default=None,
+                   help="override the sampling window length (the reference's "
+                        "generate_midi_testing.py block_len study: seed a "
+                        "--prompt-len prompt into a shorter window)")
+    p.add_argument("--prompt-len", type=int, default=None,
+                   help="prompt crop length (defaults to block-len)")
+    p.add_argument("--decode-skip", type=int, default=None,
+                   help="decode stream[skip:] instead of the last "
+                        "length+300 tokens (testing variant decodes [800:])")
     p.add_argument("--reference-windowing", action="store_true",
                    help="exact reference semantics: re-forward the slid "
                         "window per token (O(window)/token; validation only)")
@@ -65,7 +80,8 @@ def main() -> None:
             if os.path.isdir(os.path.join(args.data, d))
         ]
 
-    block_len = cfg.values.block_len
+    block_len = args.block_len or cfg.values.block_len
+    prompt_len = args.prompt_len or block_len
     suffix = "_no_meta" if args.no_metadata else ""
     for band in bands:
         band_dir = os.path.join(args.data, band)
@@ -73,7 +89,7 @@ def main() -> None:
             print(f"skipping {band}: no such directory")
             continue
         ds = TokenDataset.from_directory(
-            band_dir, args.metadata, block_len=block_len, crop="random"
+            band_dir, args.metadata, block_len=prompt_len, crop="random"
         )
         if len(ds) < 2:
             print(f"Skipping {band} (not enough files: {len(ds)})")
@@ -94,15 +110,27 @@ def main() -> None:
             streams = reference_windowed_generate(
                 model, params, src, meta, args.length, block_len,
                 jax.random.PRNGKey(args.seed), greedy=args.greedy,
+                mode=args.sampler,
             )
         else:
+            if args.model == "transformer" and src.shape[1] > block_len:
+                # cached ring-KV holds block_len positions; seed its window
+                # with the prompt tail (the windowed mode above reproduces
+                # the testing variant's exact truncation semantics)
+                src = src[:, -block_len:]
             streams = generate(
                 model, params, args.model, src, meta, args.length, block_len,
                 jax.random.PRNGKey(args.seed), greedy=args.greedy,
+                mode=args.sampler,
             )
         streams = np.asarray(streams)
         for i in range(streams.shape[0]):
-            toks = streams[i] if args.retain else streams[i][-(args.length + 300):]
+            if args.decode_skip is not None:
+                toks = streams[i][args.decode_skip:]
+            elif args.retain:
+                toks = streams[i]
+            else:
+                toks = streams[i][-(args.length + 300):]
             notes = decode([int(t) for t in toks])
             path = os.path.join(out_dir, f"generated_{band}_{args.model}_{i}.mid")
             note_to_midi(notes, path)

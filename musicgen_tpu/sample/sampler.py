@@ -50,6 +50,85 @@ class SamplerConfig:
     # Fuse the vocab-wide tail (grammar filter + penalty + top-3) into one
     # Pallas kernel (ops/pallas_sampler.py). TPU only.
     fused_tail: bool = False
+    # Sampling mode, matching the three reference generation entry points:
+    #   'combined' — tick-window penalty + per-field random top-k multinomial
+    #                (scripts/generate.py:14-95, the primary sampler)
+    #   'many'     — 100-token count-penalty table + argmax
+    #                (scripts/generate_midi_many.py:13-56)
+    #   'top5'     — plain top-5 renormalized multinomial, no penalty
+    #                (scripts/generate_midi.py:34-62)
+    mode: str = "combined"
+
+
+COUNT_WINDOW = 100  # generate_midi_many.py:26 (`generated[-100:]`)
+
+
+class CountWindowState(NamedTuple):
+    """Fixed 100-token repetition window (generate_midi_many.py:25-48)."""
+
+    hist: jax.Array  # (B, V) int32 counts over the last <=100 stream tokens
+    ring: jax.Array  # (B, 100) int32 tokens by stream_idx % 100
+    head: jax.Array  # () int32: stream length so far (shared across batch)
+
+
+def init_count_window(
+    prompt: jax.Array, layout: VocabLayout = VOCAB
+) -> CountWindowState:
+    """Counts over the last <=100 prompt tokens (the reference seeds
+    `generated` with the full prompt before the loop, so the first step's
+    window is the prompt tail)."""
+    b, p = prompt.shape
+    v = layout.vocab_size
+    n_keep = min(p, COUNT_WINDOW)
+    tail = prompt[:, -n_keep:]
+    hist = jax.vmap(
+        lambda toks: jnp.zeros((v,), jnp.int32).at[toks].add(1)
+    )(tail)
+    ring = jnp.zeros((b, COUNT_WINDOW), jnp.int32)
+    slots = jnp.mod(jnp.arange(p - n_keep, p), COUNT_WINDOW)
+    ring = ring.at[:, slots].set(tail)
+    return CountWindowState(hist, ring, jnp.int32(p))
+
+
+def push_count_window(
+    state: CountWindowState, token: jax.Array
+) -> CountWindowState:
+    """Append token (B,); evict the token falling out of the 100-window."""
+    b = token.shape[0]
+    rows = jnp.arange(b)
+    slot = jnp.mod(state.head, COUNT_WINDOW)
+    evict = state.ring[:, slot]
+    full = state.head >= COUNT_WINDOW
+    hist = state.hist.at[rows, evict].add(jnp.where(full, -1, 0))
+    hist = hist.at[rows, token].add(1)
+    ring = state.ring.at[:, slot].set(token)
+    return CountWindowState(hist, ring, state.head + 1)
+
+
+def count_penalty_divisor(
+    hist: jax.Array, layout: VocabLayout = VOCAB
+) -> jax.Array:
+    """(B, V) divisors from 100-window counts (generate_midi_many.py:28-48).
+
+    Per token class, with c = window count:
+      pitch  -> min(1.04^c, 1.25)
+      dyn    -> 1 (skipped)
+      length -> min(1.015^c, 1.08)
+      time   -> 1.1*c if c >= 10 else 1
+      tempo  -> 1 (skipped)
+    """
+    ids = jnp.arange(layout.vocab_size)
+    c = hist.astype(jnp.float32)
+    pitch_pen = jnp.minimum(jnp.float32(1.04) ** c, 1.25)
+    length_pen = jnp.minimum(jnp.float32(1.015) ** c, 1.08)
+    time_pen = jnp.where(c >= 10, 1.1 * c, 1.0)
+    is_pitch = ids < layout.dyn_start
+    is_length = (ids >= layout.length_start) & (ids < layout.time_start)
+    is_time = (ids >= layout.time_start) & (ids < layout.tempo_start)
+    div = jnp.where(is_pitch[None, :], pitch_pen, 1.0)
+    div = jnp.where(is_length[None, :], length_pen, div)
+    div = jnp.where(is_time[None, :], time_pen, div)
+    return div
 
 
 class PenaltyState(NamedTuple):
@@ -236,27 +315,41 @@ def sample_tokens(
     prefill); `step_fn` advances the cached model by one token.
     """
     b, p = prompt.shape
-    pen0 = init_penalty_state(prompt, cfg.ring_size, layout)
     last0 = prompt[:, -1]
+    if cfg.mode == "many":
+        pen0 = init_count_window(prompt, layout)
+    else:
+        pen0 = init_penalty_state(prompt, cfg.ring_size, layout)
 
     def body(carry, step_key):
         logits, model_state, pen, last, stream_idx = carry
         k_key, pick_key = jax.random.split(step_key)
-        k = _sample_k(last, k_key, layout)
-        if cfg.fused_tail:
-            from ..ops.grammar import grammar_mask
-            from ..ops.pallas_sampler import fused_filter_penalty_top3
-
-            mask_rows = grammar_mask(layout)[field_bucket(last, layout)]
-            vals, idxs = fused_filter_penalty_top3(
-                logits, mask_rows, pen.hist, layout
-            )
-            next_tok = _pick_from_topk(vals, idxs, k, pick_key, cfg.greedy)
+        if cfg.mode == "many":
+            w = filtered_logits(last, logits, layout)
+            w = w / count_penalty_divisor(pen.hist, layout)
+            next_tok = jnp.argmax(w, axis=-1).astype(jnp.int32)
+            pen = push_count_window(pen, next_tok)
+        elif cfg.mode == "top5":
+            w = filtered_logits(last, logits, layout)
+            k = jnp.full((b,), 5, jnp.int32)
+            next_tok = _pick_next(w, k, pick_key, 5, cfg.greedy)
+            # no repetition penalty in this mode; window state left untouched
         else:
-            w = filtered_logits(last, logits, layout)  # (B, V)
-            w = w / penalty_divisor(pen.hist, layout)
-            next_tok = _pick_next(w, k, pick_key, cfg.max_topk, cfg.greedy)
-        pen = push_token(pen, next_tok, layout)
+            k = _sample_k(last, k_key, layout)
+            if cfg.fused_tail:
+                from ..ops.grammar import grammar_mask
+                from ..ops.pallas_sampler import fused_filter_penalty_top3
+
+                mask_rows = grammar_mask(layout)[field_bucket(last, layout)]
+                vals, idxs = fused_filter_penalty_top3(
+                    logits, mask_rows, pen.hist, layout
+                )
+                next_tok = _pick_from_topk(vals, idxs, k, pick_key, cfg.greedy)
+            else:
+                w = filtered_logits(last, logits, layout)  # (B, V)
+                w = w / penalty_divisor(pen.hist, layout)
+                next_tok = _pick_next(w, k, pick_key, cfg.max_topk, cfg.greedy)
+            pen = push_token(pen, next_tok, layout)
         logits, model_state = step_fn(params, next_tok, model_state, stream_idx)
         return (
             (logits, model_state, pen, next_tok, stream_idx + 1),
@@ -343,12 +436,13 @@ def generate(
     rng: jax.Array,
     greedy: bool = False,
     jit: bool = True,
+    mode: str = "combined",
 ) -> jax.Array:
     """End-to-end conditioned generation (reference scripts/generate.py
     `generate` equivalent). Returns (B, P + num_tokens) full streams."""
     prefill, step = make_sampler(model, kind, block_len)
     cfg = SamplerConfig(num_tokens=num_tokens, ring_size=max(block_len, 2048),
-                        greedy=greedy)
+                        greedy=greedy, mode=mode)
 
     def run(params, prompt, meta, rng):
         init_logits, state = prefill(params, prompt, meta)
@@ -370,23 +464,36 @@ def reference_windowed_generate(
     rng: jax.Array,
     greedy: bool = True,
     layout: VocabLayout = VOCAB,
+    mode: str = "combined",
 ) -> jax.Array:
     """Validation-mode sampler: full re-forward of the slid window per token,
-    token-for-token the reference's semantics (scripts/generate.py:26-89)
-    including window truncation. O(window) per token — use for parity checks,
-    not production."""
+    token-for-token the reference's semantics (scripts/generate.py:26-89;
+    mode='many' -> generate_midi_many.py:13-56; 'top5' ->
+    generate_midi.py:34-62) including window truncation. O(window) per
+    token — use for parity checks, not production."""
     stream = prompt
-    pen = init_penalty_state(prompt, max(block_len, 2048), layout)
+    if mode == "many":
+        pen = init_count_window(prompt, layout)
+    else:
+        pen = init_penalty_state(prompt, max(block_len, 2048), layout)
     p = prompt.shape[1]
     for j in range(num_tokens):
         window = stream[:, -block_len:]
         logits = model.apply(params, window, meta)[:, -1, :]
         last = stream[:, -1]
         w = filtered_logits(last, logits, layout)
-        w = w / penalty_divisor(pen.hist, layout)
         rng, k_key, pick_key = jax.random.split(rng, 3)
-        k = _sample_k(last, k_key, layout)
-        next_tok = _pick_next(w, k, pick_key, 3, greedy)
-        pen = push_token(pen, next_tok, layout)
+        if mode == "many":
+            w = w / count_penalty_divisor(pen.hist, layout)
+            next_tok = jnp.argmax(w, axis=-1).astype(jnp.int32)
+            pen = push_count_window(pen, next_tok)
+        elif mode == "top5":
+            k = jnp.full((prompt.shape[0],), 5, jnp.int32)
+            next_tok = _pick_next(w, k, pick_key, 5, greedy)
+        else:
+            w = w / penalty_divisor(pen.hist, layout)
+            k = _sample_k(last, k_key, layout)
+            next_tok = _pick_next(w, k, pick_key, 3, greedy)
+            pen = push_token(pen, next_tok, layout)
         stream = jnp.concatenate([stream, next_tok[:, None]], axis=1)
     return stream

@@ -260,3 +260,151 @@ def test_generate_wrapper_jit():
     )
     assert streams.shape == (2, 26)
     np.testing.assert_array_equal(np.asarray(streams[:, :16]), np.asarray(prompt))
+
+
+# ---------------------------------------------------------------------------
+# Alternate sampler modes (reference generate_midi_many.py / generate_midi.py)
+# ---------------------------------------------------------------------------
+
+def test_count_window_matches_counter():
+    """hist tracks Counter(stream[-100:]) exactly across pushes/evictions."""
+    from collections import Counter
+
+    from musicgen_tpu.sample.sampler import (
+        COUNT_WINDOW,
+        init_count_window,
+        push_count_window,
+    )
+
+    rng = np.random.default_rng(3)
+    stream = _random_stream(rng, 400)
+    prompt = jnp.asarray([stream[:150]], jnp.int32)
+    state = init_count_window(prompt)
+    for i, tok in enumerate(stream[150:]):
+        hist = np.asarray(state.hist[0])
+        expected = Counter(stream[: 150 + i][-COUNT_WINDOW:])
+        got = {t: int(hist[t]) for t in np.nonzero(hist)[0]}
+        assert got == dict(expected), f"at stream pos {150 + i}"
+        state = push_count_window(state, jnp.asarray([tok], jnp.int32))
+
+
+def test_count_penalty_divisor_table():
+    """Per-class table of generate_midi_many.py:28-43."""
+    from musicgen_tpu.sample.sampler import count_penalty_divisor
+
+    hist = jnp.zeros((1, VOCAB.vocab_size), jnp.int32)
+    hist = hist.at[0, 7].set(3)  # pitch: 1.04^3
+    hist = hist.at[0, 11].set(90)  # pitch: capped at 1.25
+    hist = hist.at[0, VOCAB.dyn_start + 1].set(50)  # dyn: skipped
+    hist = hist.at[0, VOCAB.length_start + 4].set(4)  # length: 1.015^4
+    hist = hist.at[0, VOCAB.length_start + 5].set(99)  # length: capped 1.08
+    hist = hist.at[0, VOCAB.time_start + 2].set(9)  # time: below threshold
+    hist = hist.at[0, VOCAB.time_start + 3].set(12)  # time: 1.1*12
+    hist = hist.at[0, VOCAB.tempo_start + 1].set(60)  # tempo: skipped
+    d = np.asarray(count_penalty_divisor(hist))[0]
+    assert np.isclose(d[7], 1.04 ** 3)
+    assert np.isclose(d[11], 1.25)
+    assert d[VOCAB.dyn_start + 1] == 1.0
+    assert np.isclose(d[VOCAB.length_start + 4], 1.015 ** 4)
+    assert np.isclose(d[VOCAB.length_start + 5], 1.08)
+    assert d[VOCAB.time_start + 2] == 1.0
+    assert np.isclose(d[VOCAB.time_start + 3], 1.1 * 12)
+    assert d[VOCAB.tempo_start + 1] == 1.0
+
+
+def _naive_many_oracle(model, params, prompt, meta, num_tokens, block_len):
+    """Literal host-loop transliteration of generate_midi_many.py:13-56:
+    full re-forward per token, Counter over the last 100 stream tokens,
+    per-class divisor table, argmax."""
+    from collections import Counter
+
+    from musicgen_tpu.ops.grammar import filtered_logits
+
+    stream = [int(t) for t in np.asarray(prompt)[0]]
+    token_ids = prompt
+    out = []
+    for _ in range(num_tokens):
+        logits = model.apply(params, token_ids, meta)[:, -1, :]
+        prev = jnp.asarray([stream[-1]], jnp.int32)
+        w = np.array(filtered_logits(prev, logits))[0]
+        for token, count in Counter(stream[-100:]).items():
+            if VOCAB.tempo_start <= token:
+                continue
+            elif VOCAB.time_start <= token:
+                penalty = 1.1 * count if count >= 10 else 1.0
+            elif VOCAB.length_start <= token:
+                penalty = min(1.015 ** count, 1.08)
+            elif VOCAB.dyn_start <= token:
+                continue
+            else:
+                penalty = min(1.04 ** count, 1.25)
+            w[token] /= penalty
+        nxt = int(np.argmax(w))
+        out.append(nxt)
+        stream.append(nxt)
+        token_ids = jnp.concatenate(
+            [token_ids, jnp.asarray([[nxt]], jnp.int32)], axis=1
+        )[:, -block_len:]
+    return out
+
+
+def test_many_mode_matches_literal_counter_oracle():
+    """Cached scan 'many' mode == a literal Counter/argmax transliteration
+    of generate_midi_many.py (in the non-truncating regime)."""
+    model, params, prompt, meta = _mamba_setup(prompt_len=16, batch=1)
+    block_len = 128  # > prompt + num_tokens: no window truncation
+    num_tokens = 12  # each oracle step re-traces a new shape; keep it small
+
+    prefill, step = make_sampler(model, "mamba", block_len=block_len)
+    cfg = SamplerConfig(num_tokens=num_tokens, mode="many")
+    init_logits, state = prefill(params, prompt, meta)
+    toks = sample_tokens(
+        step, params, init_logits, state, prompt, cfg, jax.random.PRNGKey(0)
+    )
+    expected = _naive_many_oracle(model, params, prompt, meta, num_tokens,
+                                  block_len)
+    np.testing.assert_array_equal(np.asarray(toks)[0], np.asarray(expected))
+
+
+def test_top5_mode_reproducible_and_grammatical():
+    model, params, prompt, meta = _mamba_setup(prompt_len=24, batch=2)
+    prefill, step = make_sampler(model, "mamba", block_len=64)
+    cfg = SamplerConfig(num_tokens=40, mode="top5")
+
+    init_logits, state = prefill(params, prompt, meta)
+    t1 = sample_tokens(step, params, init_logits, state, prompt, cfg, jax.random.PRNGKey(7))
+    init_logits, state = prefill(params, prompt, meta)
+    t2 = sample_tokens(step, params, init_logits, state, prompt, cfg, jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+    allowed = {0: {1}, 1: {2}, 2: {3, 4}, 3: {4}, 4: {0}}
+    stream = np.concatenate([np.asarray(prompt), np.asarray(t1)], axis=1)
+    buckets = np.asarray(field_bucket(jnp.asarray(stream)))
+    for b in range(stream.shape[0]):
+        for t in range(prompt.shape[1], stream.shape[1]):
+            assert buckets[b, t] in allowed[buckets[b, t - 1]]
+
+
+def test_empirical_length_weights():
+    from musicgen_tpu.ops.grammar import grammar_mask
+    from musicgen_tpu.ops.length_distribution import (
+        EMPIRICAL_LENGTH_TENSOR,
+        empirical_length_weights,
+    )
+
+    assert len(EMPIRICAL_LENGTH_TENSOR) == 499  # artifact length, verbatim
+    w = np.asarray(empirical_length_weights(511))
+    assert w.shape == (511,)
+    assert np.isclose(w[0], 1.0013)
+    assert np.isclose(w[498], 1.0014)
+    assert np.all(w[499:] == 1.0)  # right-padded
+
+    m_lin = np.asarray(grammar_mask())
+    m_emp = np.asarray(grammar_mask(length_weights="empirical"))
+    # Only the length row (row 1, dyn->length transition) differs.
+    for r in (0, 2, 3, 4):
+        np.testing.assert_array_equal(m_lin[r], m_emp[r])
+    ls = VOCAB.length_start
+    assert np.isclose(m_emp[1, ls], 1.0013)
+    assert np.isclose(m_emp[1, ls + 498], 1.0014)
+    assert m_emp[1, VOCAB.time_start - 1] == 0.0  # last length token excluded
