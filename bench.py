@@ -52,14 +52,29 @@ def main() -> None:
     )
     params = model.init(jax.random.PRNGKey(0), prompt[:, :16], meta)
 
-    prefill, step = make_sampler(model, "mamba", block_len=prompt_len)
+    # Decode steps run the fused full-model Pallas kernel (ops/pallas_decode:
+    # one kernel advances all 10 mixers + LN + lm_head per token, streaming
+    # bf16 weights at the HBM limit); falls back to the XLA step on CPU.
+    fused = jax.default_backend() != "cpu"
+    prefill, step = make_sampler(
+        model, "mamba", block_len=prompt_len,
+        fused_decode=fused, cfg=cfg, batch=batch,
+    )
     # unroll=4 amortizes per-step dispatch overhead (+14%, DEV_NOTES.md).
     scfg = SamplerConfig(num_tokens=num_tokens, greedy=False, unroll=4)
 
     @jax.jit
     def run(params, prompt, meta, key):
         init_logits, state = prefill(params, prompt, meta)
-        return sample_tokens(step, params, init_logits, state, prompt, scfg, key)
+        if fused:
+            from musicgen_tpu.ops.pallas_decode import build_decode_params
+
+            step_params = build_decode_params(params, cfg, batch)
+        else:
+            step_params = params
+        return sample_tokens(
+            step, step_params, init_logits, state, prompt, scfg, key
+        )
 
     # Warmup/compile. NB: np.asarray (device->host fetch) is the sync point;
     # block_until_ready does not reliably wait on the experimental axon

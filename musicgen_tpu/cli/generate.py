@@ -57,6 +57,10 @@ def main() -> None:
     p.add_argument("--decode-skip", type=int, default=None,
                    help="decode stream[skip:] instead of the last "
                         "length+300 tokens (testing variant decodes [800:])")
+    p.add_argument("--fused-decode", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="mamba fused multi-layer Pallas decode kernel "
+                        "(auto: on for TPU; bf16-tolerance numerics)")
     p.add_argument("--reference-windowing", action="store_true",
                    help="exact reference semantics: re-forward the slid "
                         "window per token (O(window)/token; validation only)")
@@ -118,10 +122,11 @@ def main() -> None:
                 # with the prompt tail (the windowed mode above reproduces
                 # the testing variant's exact truncation semantics)
                 src = src[:, -block_len:]
+            fused = {"auto": None, "on": True, "off": False}[args.fused_decode]
             streams = generate(
                 model, params, args.model, src, meta, args.length, block_len,
                 jax.random.PRNGKey(args.seed), greedy=args.greedy,
-                mode=args.sampler,
+                mode=args.sampler, fused=fused,
             )
         streams = np.asarray(streams)
         for i in range(streams.shape[0]):

@@ -274,6 +274,25 @@ def _pick_from_topk(
     return jnp.take_along_axis(idxs, choice[:, None], axis=1)[:, 0].astype(jnp.int32)
 
 
+def _iter_top_k(w: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k via k argmax+mask passes.
+
+    For the tiny k used here (<=5) this is much faster on TPU than
+    jax.lax.top_k's sort-based lowering over the 17914-wide vocab (the
+    dominant cost of the XLA sampler tail, BENCHMARKS.md). Ties resolve to
+    the lowest index first, matching top_k's ordering."""
+    vals, idxs = [], []
+    for _ in range(k):
+        i = jnp.argmax(w, axis=-1)  # (B,) first-lowest on ties
+        v = jnp.take_along_axis(w, i[:, None], axis=1)[:, 0]
+        vals.append(v)
+        idxs.append(i.astype(jnp.int32))
+        w = jnp.where(
+            jnp.arange(w.shape[-1])[None, :] == i[:, None], -jnp.inf, w
+        )
+    return jnp.stack(vals, axis=1), jnp.stack(idxs, axis=1)
+
+
 def _pick_next(
     w: jax.Array,  # (B, V) nonneg sampling weights
     k: jax.Array,  # (B,) in 1..max_topk
@@ -283,7 +302,7 @@ def _pick_next(
 ) -> jax.Array:
     if greedy:
         return jnp.argmax(w, axis=-1).astype(jnp.int32)
-    vals, idxs = jax.lax.top_k(w, max_topk)  # (B, K)
+    vals, idxs = _iter_top_k(w, max_topk)  # (B, K)
     mask = jnp.arange(max_topk)[None, :] < k[:, None]
     probs = jnp.where(mask, vals, 0.0)
     logits = jnp.log(probs + 1e-30)
@@ -366,11 +385,25 @@ def sample_tokens(
 # Model adapters
 # ---------------------------------------------------------------------------
 
-def make_sampler(model, kind: str, block_len: int):
+def make_sampler(
+    model,
+    kind: str,
+    block_len: int,
+    fused_decode: bool = False,
+    cfg=None,
+    batch: int | None = None,
+    interpret: bool = False,
+):
     """Returns (prefill_fn, step_fn) for `sample_tokens`.
 
     kind: 'transformer' | 'mamba' | 'xlstm'. The transformer step threads the
     ring-KV geometry (sample.cache); recurrent models carry pure state.
+
+    fused_decode=True (mamba only) routes the step through the fused
+    multi-layer Pallas kernel (ops/pallas_decode). The step_fn then expects
+    the PACKED params from `build_decode_params` as its params argument
+    (build once, outside the scan); prefill still takes the flax params.
+    Requires cfg (the MambaConfig) and batch.
 
     Params are EXPLICIT arguments (not closed over): closed-over arrays get
     inlined as dense HLO constants, which breaks this environment's
@@ -400,6 +433,29 @@ def make_sampler(model, kind: str, block_len: int):
 
     if kind == "mamba":
         from ..models.mamba import MambaLM
+
+        if fused_decode:
+            assert cfg is not None and batch is not None
+            from ..ops.pallas_decode import (
+                DecodeDims,
+                fused_logits_step,
+                stack_states,
+            )
+
+            dims = DecodeDims.create(cfg, batch)
+
+            def prefill(params, tokens, meta):
+                logits, states = model.apply(
+                    params, tokens, meta, method=MambaLM.prefill
+                )
+                return logits[:, -1, :], stack_states(states)
+
+            def step(dp, token, carry, stream_idx):
+                return fused_logits_step(
+                    dp, token, carry, cfg, dims, interpret=interpret
+                )
+
+            return prefill, step
 
         def prefill(params, tokens, meta):
             logits, states = model.apply(params, tokens, meta, method=MambaLM.prefill)
@@ -437,16 +493,35 @@ def generate(
     greedy: bool = False,
     jit: bool = True,
     mode: str = "combined",
+    fused: bool | None = None,
 ) -> jax.Array:
     """End-to-end conditioned generation (reference scripts/generate.py
-    `generate` equivalent). Returns (B, P + num_tokens) full streams."""
-    prefill, step = make_sampler(model, kind, block_len)
+    `generate` equivalent). Returns (B, P + num_tokens) full streams.
+
+    fused=None auto-selects the fused multi-layer Pallas decode kernel
+    (ops/pallas_decode) for Mamba on accelerators (~2x the XLA step path;
+    bf16-tolerance numerics)."""
+    if fused is None:
+        fused = kind == "mamba" and jax.default_backend() != "cpu"
+    fused = fused and kind == "mamba"
+    model_cfg = getattr(model, "cfg", None)
+    prefill, step = make_sampler(
+        model, kind, block_len,
+        fused_decode=fused, cfg=model_cfg, batch=prompt.shape[0],
+        interpret=jax.default_backend() == "cpu",
+    )
     cfg = SamplerConfig(num_tokens=num_tokens, ring_size=max(block_len, 2048),
                         greedy=greedy, mode=mode)
 
     def run(params, prompt, meta, rng):
         init_logits, state = prefill(params, prompt, meta)
-        toks = sample_tokens(step, params, init_logits, state, prompt, cfg, rng)
+        if fused:
+            from ..ops.pallas_decode import build_decode_params
+
+            step_params = build_decode_params(params, model_cfg, prompt.shape[0])
+        else:
+            step_params = params
+        toks = sample_tokens(step, step_params, init_logits, state, prompt, cfg, rng)
         return jnp.concatenate([prompt, toks], axis=1)
 
     if jit:
