@@ -187,9 +187,9 @@ class MambaConfig:
     vocab_size: int = VOCAB_SIZE
     metadata_vocab_size: int = DEFAULT_METADATA_VOCAB_SIZE
     vocab_pad_multiple: int = VOCAB_PAD_MULTIPLE
-    # 'xla' (differentiable) or 'pallas' (fused TPU kernel, forward-only —
-    # used by prefill/inference).
-    ssd_impl: str = "xla"
+    # 'auto' (pallas on accelerators, xla on CPU), 'xla' (differentiable),
+    # or 'pallas' (fused TPU kernel, forward-only — used by prefill).
+    ssd_impl: str = "auto"
     # Reference quirk (models/mamba/mamba.py:32-33): layers are stacked with
     # NO inter-layer residual connections. Keep False for fidelity.
     residual: bool = False
@@ -228,8 +228,9 @@ class XLSTMConfig:
     vocab_size: int = VOCAB_SIZE
     metadata_vocab_size: int = DEFAULT_METADATA_VOCAB_SIZE
     vocab_pad_multiple: int = VOCAB_PAD_MULTIPLE
-    # 'xla' or 'pallas' for the sLSTM recurrence (forward-only kernel).
-    slstm_impl: str = "xla"
+    # 'auto' (pallas on accelerators, xla on CPU), 'xla', or 'pallas' for
+    # the sLSTM recurrence (forward-only batched kernel, 16x the XLA scan).
+    slstm_impl: str = "auto"
 
     @property
     def padded_vocab(self) -> int:

@@ -165,7 +165,9 @@ class Mamba2Mixer(nn.Module):
         Bh = B_p.reshape(b, t + pad, c.ngroups, c.d_state)
         Ch = C_p.reshape(b, t + pad, c.ngroups, c.d_state)
 
-        if c.ssd_impl == "pallas":
+        from ..ops.dispatch import resolve_impl
+
+        if resolve_impl(c.ssd_impl) == "pallas":
             from ..ops.pallas_ssd import ssd_chunked_pallas
 
             y, ssm_state = ssd_chunked_pallas(xh, dth, A, Bh, Ch, chunk=chunk)

@@ -256,7 +256,9 @@ class SLSTMLayer(nn.Module):
             tail = jnp.pad(tail, ((0, 0), (pad_t, 0), (0, 0)))
         x_c = jax.nn.silu(causal_conv1d(x, self.conv_w, self.conv_b))
         wx = self._wx(x, x_c)
-        if self.impl == "pallas" and wx.shape[1] % 128 == 0:
+        from ..ops.dispatch import resolve_impl
+
+        if resolve_impl(self.impl) == "pallas":
             from ..ops.pallas_slstm import slstm_pallas
 
             h, sstate = slstm_pallas(wx, self.r_kernel, self.bias, chunk=128)

@@ -1,23 +1,28 @@
-"""Fused sLSTM recurrence — Pallas TPU kernel.
+"""Fused batched sLSTM recurrence — Pallas TPU kernel.
 
 Replaces the lax.scan in ops/slstm.slstm_sequential (itself the TPU-native
-replacement for NX-AI's JIT-compiled CUDA sLSTM, SURVEY.md §2.3) with a
-single kernel that keeps the (h, c, n, m) state in VMEM for the whole
-sequence and batches the four gates' recurrent matmuls into one
-(1, DH) x (DH, 4*DH) MXU op per step:
+replacement for NX-AI's JIT-compiled CUDA sLSTM, reference
+models/xlstm/xlstm_model.py:28 backend="cuda"; SURVEY.md §2.3). Per step:
 
-    pre = wx_t + h_{t-1} @ R_cat + bias       [i | f | z | o]
+    pre = wx_t + h_{t-1} @ R_bd + bias        [i | f | z | o]
     m_t = max(f + m, i);  i' = exp(i - m_t);  f' = exp(f + m - m_t)
     c_t = f' c + i' tanh(z);  n_t = f' n + i';  h_t = sigmoid(o) c_t / n_t
 
-Grid: (batch*heads, T/chunk) with the chunk axis sequential (state carried
-in scratch). Forward-only; training uses the XLA scan oracle.
+Batched-in-kernel design (v2 — the round-1 kernel ran one (1, DH) x
+(DH, 4DH) matmul per (batch, head) grid program, starving the MXU and
+losing 10x to XLA's scan): ALL heads' recurrences advance in ONE
+(B, H*DH) x (H*DH, 4*H*DH) MXU matmul per step against a block-diagonal
+recurrent matrix R_bd[h*DH+p, g*d + h*DH+q] = R[g, h, p, q] (gate-major
+columns, per-head blocks; zeros elsewhere keep heads independent). The
+4x zero-FLOP padding is free — the step is latency-bound, not FLOP-bound.
+R_bd (~16 MB f32 at the reference size) stays resident in VMEM across the
+whole sequence; wx streams in T-chunks double-buffered by the pipeline;
+the (B, d) h/c/n/m state lives in VMEM scratch.
 
-Status: bit-exact vs the scan oracle on TPU, but ~10x SLOWER at the
-reference sizes — each grid program runs (1, DH) x (DH, 4DH) matmuls (M=1
-starves the MXU) while XLA's scan batches all B*H recurrences into one
-matmul per step. Kept as the starting point for a batched-in-kernel
-version; `XLSTMConfig.slstm_impl` defaults to 'xla'.
+Arbitrary T is handled by padding to a chunk multiple and masking state
+updates past T (the final state must not see pad steps).
+
+Forward-only; training uses the XLA scan oracle (slstm_sequential).
 """
 from __future__ import annotations
 
@@ -35,16 +40,16 @@ NEG_LARGE = -1e30
 
 
 def _slstm_kernel(
-    wx_ref,  # (1, TT, 4*DH)
-    r_ref,  # (1, DH, 4*DH)
-    b_ref,  # (1, 1, 4*DH)
-    h_out_ref,  # (1, TT, DH)
-    state_out_ref,  # (1, 4, DH) final (h, c, n, m)
-    h_s, c_s, n_s, m_s,  # scratch (1, DH) each
-    *, chunk: int, dh: int,
+    wx_ref,  # (B, TT, 4d) f32 chunk
+    r_ref,  # (d, 4d) f32 block-diagonal
+    b_ref,  # (1, 4d) f32
+    h_out_ref,  # (B, TT, d)
+    state_out_ref,  # (4, B, d) final (h, c, n, m)
+    h_s, c_s, n_s, m_s,  # scratch (B, d) f32
+    *, chunk: int, d: int, t_real: int,
 ):
-    ci = pl.program_id(1)
-    nc = pl.num_programs(1)
+    ci = pl.program_id(0)
+    nc = pl.num_programs(0)
 
     @pl.when(ci == 0)
     def _init():
@@ -53,21 +58,21 @@ def _slstm_kernel(
         n_s[:] = jnp.zeros_like(n_s)
         m_s[:] = jnp.full_like(m_s, NEG_LARGE)
 
-    r_cat = r_ref[0].astype(jnp.float32)  # (DH, 4DH)
-    bias = b_ref[0].astype(jnp.float32)  # (1, 4DH)
+    bias = b_ref[0].astype(jnp.float32)[None, :]  # (1, 4d)
 
     def step(t, _):
-        wx_t = wx_ref[0, pl.ds(t, 1), :].astype(jnp.float32)  # (1, 4DH)
+        gt = ci * chunk + t
+        wx_t = wx_ref[:, t, :].astype(jnp.float32)  # (B, 4d)
         h_prev = h_s[:]
         rec = jax.lax.dot_general(
-            h_prev, r_cat, (((1,), (0,)), ((), ())),
+            h_prev, r_ref[:, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (1, 4DH)
+        )  # (B, 4d)
         pre = wx_t + rec + bias
-        i_pre = pre[:, 0 * dh : 1 * dh]
-        f_pre = pre[:, 1 * dh : 2 * dh]
-        z_pre = pre[:, 2 * dh : 3 * dh]
-        o_pre = pre[:, 3 * dh : 4 * dh]
+        i_pre = pre[:, 0 * d : 1 * d]
+        f_pre = pre[:, 1 * d : 2 * d]
+        z_pre = pre[:, 2 * d : 3 * d]
+        o_pre = pre[:, 3 * d : 4 * d]
 
         m_prev = m_s[:]
         m_new = jnp.maximum(f_pre + m_prev, i_pre)
@@ -77,76 +82,87 @@ def _slstm_kernel(
         n_new = f_act * n_s[:] + i_act
         h_new = jax.nn.sigmoid(o_pre) * c_new / n_new
 
-        h_s[:] = h_new
-        c_s[:] = c_new
-        n_s[:] = n_new
-        m_s[:] = m_new
-        h_out_ref[0, pl.ds(t, 1), :] = h_new.astype(h_out_ref.dtype)
+        # Pad steps (gt >= t_real) must not advance the state.
+        valid = gt < t_real
+        h_s[:] = jnp.where(valid, h_new, h_prev)
+        c_s[:] = jnp.where(valid, c_new, c_s[:])
+        n_s[:] = jnp.where(valid, n_new, n_s[:])
+        m_s[:] = jnp.where(valid, m_new, m_prev)
+        h_out_ref[:, t, :] = h_new.astype(h_out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, chunk, step, 0)
 
     @pl.when(ci == nc - 1)
     def _emit_state():
-        state_out_ref[0, 0:1, :] = h_s[:].astype(state_out_ref.dtype)
-        state_out_ref[0, 1:2, :] = c_s[:].astype(state_out_ref.dtype)
-        state_out_ref[0, 2:3, :] = n_s[:].astype(state_out_ref.dtype)
-        state_out_ref[0, 3:4, :] = m_s[:].astype(state_out_ref.dtype)
+        state_out_ref[0, :, :] = h_s[:].astype(state_out_ref.dtype)
+        state_out_ref[1, :, :] = c_s[:].astype(state_out_ref.dtype)
+        state_out_ref[2, :, :] = n_s[:].astype(state_out_ref.dtype)
+        state_out_ref[3, :, :] = m_s[:].astype(state_out_ref.dtype)
+
+
+def _block_diag_r(r: jax.Array) -> jax.Array:
+    """(4, H, DH, DH) -> (H*DH, 4*H*DH) gate-major block-diagonal."""
+    four, h, dh, _ = r.shape
+    d = h * dh
+    # eye_h[h1, h2] selects the diagonal blocks: (H,DH,H,DH) mask trick.
+    out = jnp.zeros((d, 4 * d), r.dtype)
+    for g in range(four):
+        # (H, DH, DH) -> (H*DH, H*DH) block diagonal
+        blk = jax.scipy.linalg.block_diag(*[r[g, i] for i in range(h)])
+        out = jax.lax.dynamic_update_slice(out, blk, (0, g * d))
+    return out
 
 
 def slstm_pallas(
     wx: jax.Array,  # (B, T, 4, H, DH)
     r: jax.Array,  # (4, H, DH, DH)
     b: jax.Array,  # (4, H, DH)
-    chunk: int = 256,
+    chunk: int = 128,
     interpret: bool = False,
 ) -> Tuple[jax.Array, SState]:
     """Fused full-sequence sLSTM. Returns (h (B, T, H, DH), final_state),
-    matching ops.slstm.slstm_sequential's contract.
-
-    T must be a multiple of `chunk` (pad upstream).
-    """
+    matching ops.slstm.slstm_sequential's contract. Any T (padded to a
+    chunk multiple internally; pad steps are masked out of the state)."""
     bsz, t, four, h, dh = wx.shape
-    assert four == 4 and t % chunk == 0
-    bh = bsz * h
+    assert four == 4
+    d = h * dh
 
-    # (B,T,4,H,DH) -> (B,H,T,4*DH) -> (BH, T, 4DH)
-    wx_f = wx.transpose(0, 3, 1, 2, 4).reshape(bh, t, 4 * dh)
-    # R: (4,H,DH,DH) -> per head (DH, 4*DH), tiled per batch.
-    r_cat = r.transpose(1, 2, 0, 3).reshape(h, dh, 4 * dh)
-    r_f = jnp.tile(r_cat, (bsz, 1, 1))  # (BH, DH, 4DH)
-    b_cat = b.transpose(1, 0, 2).reshape(h, 1, 4 * dh)
-    b_f = jnp.tile(b_cat, (bsz, 1, 1))  # (BH, 1, 4DH)
+    t_pad = -(-t // chunk) * chunk
+    # (B,T,4,H,DH) -> (B, T, 4d) with [g][h][q] column order
+    wx_f = wx.reshape(bsz, t, 4 * d)
+    if t_pad != t:
+        wx_f = jnp.pad(wx_f, ((0, 0), (0, t_pad - t), (0, 0)))
+    r_bd = _block_diag_r(r.astype(jnp.float32))  # (d, 4d)
+    b_f = b.astype(jnp.float32).reshape(1, 4 * d)  # [g][h][q]
 
-    grid = (bh, t // chunk)
-    kernel = functools.partial(_slstm_kernel, chunk=chunk, dh=dh)
+    grid = (t_pad // chunk,)
+    kernel = functools.partial(_slstm_kernel, chunk=chunk, d=d, t_real=t)
 
     h_out, state_out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, chunk, 4 * dh), lambda i, c: (i, c, 0)),
-            pl.BlockSpec((1, dh, 4 * dh), lambda i, c: (i, 0, 0)),
-            pl.BlockSpec((1, 1, 4 * dh), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((bsz, chunk, 4 * d), lambda c: (0, c, 0)),
+            pl.BlockSpec((d, 4 * d), lambda c: (0, 0)),
+            pl.BlockSpec((1, 4 * d), lambda c: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, chunk, dh), lambda i, c: (i, c, 0)),
-            pl.BlockSpec((1, 4, dh), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((bsz, chunk, d), lambda c: (0, c, 0)),
+            pl.BlockSpec((4, bsz, d), lambda c: (0, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, t, dh), wx.dtype),
-            jax.ShapeDtypeStruct((bh, 4, dh), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, t_pad, d), wx.dtype),
+            jax.ShapeDtypeStruct((4, bsz, d), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((1, dh), jnp.float32),
-            pltpu.VMEM((1, dh), jnp.float32),
-            pltpu.VMEM((1, dh), jnp.float32),
-            pltpu.VMEM((1, dh), jnp.float32),
-        ],
+        scratch_shapes=[pltpu.VMEM((bsz, d), jnp.float32) for _ in range(4)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
         interpret=interpret,
-    )(wx_f, r_f, b_f)
+    )(wx_f, r_bd, b_f)
 
-    h_seq = h_out.reshape(bsz, h, t, dh).transpose(0, 2, 1, 3)
-    st = state_out.reshape(bsz, h, 4, dh)
-    state: SState = (st[:, :, 0], st[:, :, 1], st[:, :, 2], st[:, :, 3])
+    h_seq = h_out[:, :t, :].reshape(bsz, t, h, dh)
+    st = state_out.reshape(4, bsz, h, dh)
+    state: SState = (st[0], st[1], st[2], st[3])
     return h_seq, state

@@ -33,3 +33,19 @@ def test_pallas_slstm_multichunk_state_carry():
     np.testing.assert_allclose(
         np.asarray(h_got), np.asarray(h_ref), rtol=2e-4, atol=2e-4
     )
+
+
+def test_pallas_slstm_ragged_t_state_masking():
+    """T not a multiple of chunk: pad steps must not pollute the state."""
+    rng = np.random.default_rng(2)
+    b, t, h, dh = 2, 38, 2, 128
+    wx = jnp.asarray(rng.standard_normal((b, t, 4, h, dh)), jnp.float32)
+    r = jnp.asarray(rng.standard_normal((4, h, dh, dh)) * 0.2, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((4, h, dh)), jnp.float32)
+    h_ref, s_ref = slstm_sequential(wx, r, bias)
+    h_got, s_got = slstm_pallas(wx, r, bias, chunk=16, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(h_got), np.asarray(h_ref), rtol=2e-4, atol=2e-4
+    )
+    for a, b_ in zip(s_got, s_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4)
