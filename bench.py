@@ -25,7 +25,7 @@ def main() -> None:
 
     from musicgen_tpu.config import NUM_META, VOCAB, MambaConfig
     from musicgen_tpu.models.mamba import MambaLM
-    from musicgen_tpu.sample.sampler import SamplerConfig, make_sampler, sample_tokens
+    from musicgen_tpu.sample.sampler import generate
 
     # Full reference size; prefill runs the fused Pallas SSD kernel.
     cfg = MambaConfig(ssd_impl="pallas")
@@ -52,28 +52,14 @@ def main() -> None:
     )
     params = model.init(jax.random.PRNGKey(0), prompt[:, :16], meta)
 
-    # Decode steps run the fused full-model Pallas kernel (ops/pallas_decode:
-    # one kernel advances all 10 mixers + LN + lm_head per token, streaming
-    # bf16 weights at the HBM limit); falls back to the XLA step on CPU.
-    fused = jax.default_backend() != "cpu"
-    prefill, step = make_sampler(
-        model, "mamba", block_len=prompt_len,
-        fused_decode=fused, cfg=cfg, batch=batch,
-    )
-    # unroll=4 amortizes per-step dispatch overhead (+14%, DEV_NOTES.md).
-    scfg = SamplerConfig(num_tokens=num_tokens, greedy=False, unroll=4)
-
-    @jax.jit
+    # The real user path (sample/sampler.generate): on TPU this runs the
+    # fused full-model Pallas decode kernel with the sampler tail (grammar
+    # filter + penalty + exact top-3) fused in-kernel — one pallas_call per
+    # token, bf16 weights streamed at the HBM limit. The jitted runner is
+    # cached, so only the first call compiles.
     def run(params, prompt, meta, key):
-        init_logits, state = prefill(params, prompt, meta)
-        if fused:
-            from musicgen_tpu.ops.pallas_decode import build_decode_params
-
-            step_params = build_decode_params(params, cfg, batch)
-        else:
-            step_params = params
-        return sample_tokens(
-            step, step_params, init_logits, state, prompt, scfg, key
+        return generate(
+            model, params, "mamba", prompt, meta, num_tokens, prompt_len, key
         )
 
     # Warmup/compile. NB: np.asarray (device->host fetch) is the sync point;

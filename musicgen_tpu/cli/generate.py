@@ -57,10 +57,12 @@ def main() -> None:
     p.add_argument("--decode-skip", type=int, default=None,
                    help="decode stream[skip:] instead of the last "
                         "length+300 tokens (testing variant decodes [800:])")
-    p.add_argument("--fused-decode", choices=["auto", "on", "off"],
+    p.add_argument("--fused-decode", choices=["auto", "on", "off", "int8"],
                    default="auto",
                    help="mamba fused multi-layer Pallas decode kernel "
-                        "(auto: on for TPU; bf16-tolerance numerics)")
+                        "(auto: on for TPU; bf16-tolerance numerics; int8: "
+                        "W8A8 quantized weights, ~1.7x faster decode with "
+                        "~8-bit logit noise)")
     p.add_argument("--reference-windowing", action="store_true",
                    help="exact reference semantics: re-forward the slid "
                         "window per token (O(window)/token; validation only)")
@@ -122,11 +124,14 @@ def main() -> None:
                 # with the prompt tail (the windowed mode above reproduces
                 # the testing variant's exact truncation semantics)
                 src = src[:, -block_len:]
-            fused = {"auto": None, "on": True, "off": False}[args.fused_decode]
+            fused = {"auto": None, "on": True, "off": False, "int8": True}[
+                args.fused_decode
+            ]
+            quant = "int8" if args.fused_decode == "int8" else "bf16"
             streams = generate(
                 model, params, args.model, src, meta, args.length, block_len,
                 jax.random.PRNGKey(args.seed), greedy=args.greedy,
-                mode=args.sampler, fused=fused,
+                mode=args.sampler, fused=fused, quant=quant,
             )
         streams = np.asarray(streams)
         for i in range(streams.shape[0]):

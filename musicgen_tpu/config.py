@@ -156,9 +156,10 @@ class TransformerConfig:
     vocab_size: int = VOCAB_SIZE
     metadata_vocab_size: int = DEFAULT_METADATA_VOCAB_SIZE
     vocab_pad_multiple: int = VOCAB_PAD_MULTIPLE
-    # 'xla' (differentiable, training) or 'flash' (fused Pallas forward,
-    # used automatically for prefill/inference when set).
-    attention_impl: str = "xla"
+    # 'auto' (flash on accelerators, xla on CPU), 'xla', 'flash' (fused
+    # Pallas fwd + custom-VJP bwd, 3.7x XLA at training shapes), or
+    # 'torch_exact' (bit-parity mode for the cross-framework harness).
+    attention_impl: str = "auto"
 
     @property
     def seq_len(self) -> int:  # meta prefix + tokens

@@ -65,7 +65,10 @@ class RelPosSelfAttention(nn.Module):
         c = self.cfg
         q, k, v = self._split(self.q_proj(x)), self._split(self.k_proj(x)), self._split(self.v_proj(x))
         scale = float(c.n_embd) ** -0.5  # reference uses model width, not head_dim
-        if c.attention_impl == "flash":
+        impl = c.attention_impl
+        if impl == "auto":
+            impl = "flash" if jax.default_backend() != "cpu" else "xla"
+        if impl == "flash":
             # Fused flash fwd + custom-VJP flash bwd (dQ/dK/dV/dRel): the
             # training hot path never materializes the (B,H,T,T) scores.
             from ..ops.pallas_attention import flash_relpos_attention_train
@@ -93,7 +96,10 @@ class RelPosSelfAttention(nn.Module):
         c = self.cfg
         q, k, v = self._split(self.q_proj(x)), self._split(self.k_proj(x)), self._split(self.v_proj(x))
         scale = float(c.n_embd) ** -0.5
-        if c.attention_impl == "flash":
+        impl = c.attention_impl
+        if impl == "auto":
+            impl = "flash" if jax.default_backend() != "cpu" else "xla"
+        if impl == "flash":
             from ..ops.pallas_attention import flash_relpos_attention
 
             out = flash_relpos_attention(

@@ -5,14 +5,21 @@ The reference samples by re-forwarding the whole 2048-token window per token
 with an O(1)-state `lax.scan` decode; this kernel removes the remaining
 bottleneck of THAT loop.
 
-Measured on the target chip (DEV_NOTES.md round-2 profile): the XLA decode
-step spends ~325 us/token, of which the two matmuls per mixer account for
-~110 us at fp32 (already at the ~2.4 TB/s HBM streaming limit) and the rest
-is per-op dispatch overhead across the ~15 small ops per layer. Storing the
-weights in bf16 SHOULD halve the streaming time, but XLA's small-M bf16
-matmul lowering on this target is ~2x SLOWER than fp32 (measured; the cause
-of round 1's "bf16 regression"), so the only way to collect the bf16 win is
-a hand kernel.
+Measured on the target chip (experiments/kernel_ablate.py): the kernel is
+purely DMA-bound — a DMA-only variant costs the same 229 us/step as the
+full kernel, streaming 166 MB of bf16 weights/token at ~725 GB/s (~89% of
+the v5e's 819 GB/s HBM bandwidth), with all compute hidden under the
+pipeline. The XLA step path costs ~250-325 us and cannot reach this point:
+XLA's small-M bf16 matmul lowering on this target is slower than fp32
+(measured; the cause of round 1's "bf16 regression"), so the bf16 — and
+int8 — streaming wins require a hand kernel. Three variants share the body:
+  * bf16 (default): bf16 weights, fp32 elementwise; logits at bf16 tolerance.
+  * quant='int8': W8A8 — per-output-column int8 weights, dynamic per-row
+    activation quant onto the MXU int8 path; halves the stream (~120
+    us/step, 1.9x) at ~8-bit logit noise.
+  * tail_inputs=...: the sampler tail (grammar filter, repetition penalty,
+    exact top-3) runs as one extra grid step over VMEM-resident logits;
+    only (vals, idxs) top-3 leave the kernel (fused_sample_step).
 
 Design: ONE `pallas_call` advances the WHOLE model by one token.
   - grid = (n_layers + head_chunks,). Grid steps 0..L-1 run one mixer layer
@@ -82,15 +89,23 @@ class DecodeDims:
     d_in_pad: int  # padded to lane multiple = 4352
     padded_vocab: int  # 17920
     head_chunk: int  # padded_vocab / _HEAD_CHUNKS
+    vocab_size: int  # 17914 (unpadded; tail softmax excludes pad lanes)
+    dyn_start: int  # vocab field boundaries (tail penalty bases)
+    length_start: int
 
     @classmethod
     def create(cls, cfg: MambaConfig, batch: int) -> "DecodeDims":
+        from ..config import VOCAB
+
         assert cfg.ngroups == 1, "fused decode kernel assumes ngroups=1"
         d_in_proj = 2 * cfg.d_inner + 2 * cfg.d_state + cfg.nheads
         d_in_pad = -(-d_in_proj // 128) * 128
         pv = cfg.padded_vocab
         assert pv % (_HEAD_CHUNKS * 128) == 0, pv
         return cls(
+            vocab_size=cfg.vocab_size,
+            dyn_start=VOCAB.dyn_start,
+            length_start=VOCAB.length_start,
             n_layers=cfg.n_layers,
             batch=batch,
             d_model=cfg.d_model,
@@ -112,6 +127,23 @@ def _dot(a, b, contract=((1,), (0,))):
     )
 
 
+def _qdot(x, wq, s_col):
+    """W8A8 matmul: x (M, K) f32, wq (K, N) int8 per-out-column quantized,
+    s_col (1, N) f32 column scales. Dynamic per-row activation quantization
+    feeds the MXU's int8 path; output rescaled to f32.
+
+    Used by the quant='int8' decode variant: halves the weight HBM stream
+    (the kernel is DMA-bound, experiments/kernel_ablate.py) at the cost of
+    ~8-bit logit noise."""
+    ax = jnp.max(jnp.abs(x), axis=1, keepdims=True)  # (M, 1)
+    s_x = jnp.maximum(ax, 1e-20) * (1.0 / 127.0)
+    xq = jnp.clip(jnp.round(x / s_x), -127.0, 127.0).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, wq, ((((1,), (0,))), ((), ())), preferred_element_type=jnp.int32
+    )
+    return acc.astype(jnp.float32) * s_x * s_col
+
+
 def _decode_kernel(
     # inputs
     x_in_ref,  # (_ROWS, d_model) f32 — embedded token, zero-padded rows
@@ -128,15 +160,25 @@ def _decode_kernel(
     lm_w_ref,  # (d_model, head_chunk) bf16 lm_head N-chunk
     conv_state_ref,  # (1, B, 3, conv_dim) f32 (aliased to output)
     ssm_state_ref,  # (1, d_inner, B*N) f32, S[h*P+p, b*N+n] (aliased)
-    # outputs
-    logits_ref,  # (_ROWS, head_chunk) f32 chunk
-    conv_state_out_ref,
-    ssm_state_out_ref,
-    # scratch
-    x_scr,  # (_ROWS, d_model) f32, persists across grid steps
-    *,
+    # quant='int8' adds 3 scale inputs (w_in_s, w_out_s, lm_s); tail=True
+    # adds (lm_b chunk, grammar (5, Vp), hist (_ROWS, Vp)) inputs, swaps the
+    # logits output for (vals, idx) top-3 outputs, and adds a logits
+    # scratch. Then outputs (conv_state_out, ssm_state_out) and scratch.
+    *rest,
     dims: DecodeDims,
+    quant: bool = False,
+    tail: bool = False,
 ):
+    rest = list(rest)
+    if quant:
+        w_in_s_ref, w_out_s_ref, lm_s_ref = rest[:3]
+        del rest[:3]
+    if tail:
+        (lm_b_ref, gram_ref, hist_ref,
+         vals_ref, idx_ref, conv_state_out_ref, ssm_state_out_ref,
+         x_scr, logit_scr) = rest
+    else:
+        (logits_ref, conv_state_out_ref, ssm_state_out_ref, x_scr) = rest
     i = pl.program_id(0)
     L = dims.n_layers
     B = dims.batch
@@ -152,7 +194,10 @@ def _decode_kernel(
     def _mixer():
         x = x_scr[:, :]  # (_ROWS, d_model) f32
 
-        zx = _dot(x.astype(jnp.bfloat16), w_in_ref[0])  # (_ROWS, d_in_pad)
+        if quant:
+            zx = _qdot(x, w_in_ref[0], w_in_s_ref[0, 0][None, :])
+        else:
+            zx = _dot(x.astype(jnp.bfloat16), w_in_ref[0])  # (_ROWS, d_in_pad)
 
         z = zx[:B, 0:di]  # (B, d_inner)
         xbc_new = zx[:B, di : di + dc]  # (B, conv_dim) raw conv input
@@ -214,9 +259,14 @@ def _decode_kernel(
         g_rows = jnp.concatenate(
             [g, jnp.zeros((_ROWS - B, di), f32)], axis=0
         )  # (_ROWS, d_inner); zero pad rows keep x_scr pad rows zero
-        x_scr[:, :] = _dot(g_rows.astype(jnp.bfloat16), w_out_ref[0])
+        if quant:
+            x_scr[:, :] = _qdot(g_rows, w_out_ref[0], w_out_s_ref[0, 0][None, :])
+        else:
+            x_scr[:, :] = _dot(g_rows.astype(jnp.bfloat16), w_out_ref[0])
 
-    @pl.when(i >= L)
+    n_head_end = L + _HEAD_CHUNKS
+
+    @pl.when(jnp.logical_and(i >= L, i < n_head_end))
     def _head():
         # Final LayerNorm (recomputed per chunk — trivially cheap) + lm_head.
         x = x_scr[:, :]  # (_ROWS, d_model)
@@ -224,7 +274,74 @@ def _decode_kernel(
         var = jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean
         h = (x - mean) * jax.lax.rsqrt(var + 1e-6)
         h = h * ln_ref[0][None, :] + ln_ref[1][None, :]
-        logits_ref[:, :] = _dot(h.astype(jnp.bfloat16), lm_w_ref[:, :])
+        if quant:
+            chunk_logits = _qdot(h, lm_w_ref[:, :], lm_s_ref[:, :])
+        else:
+            chunk_logits = _dot(h.astype(jnp.bfloat16), lm_w_ref[:, :])
+        if tail:
+            chunk_logits = chunk_logits + lm_b_ref[:, :]
+            c0 = (i - L) * dims.head_chunk
+            logit_scr[:, pl.ds(c0, dims.head_chunk)] = chunk_logits
+        else:
+            logits_ref[:, :] = chunk_logits
+
+    if tail:
+
+        @pl.when(i == n_head_end)
+        def _tail():
+            # Grammar-filtered, penalty-divided sampling weights + exact
+            # top-3 — the XLA sampler tail (sample/sampler.py steps 1-2 and
+            # the top-k of step 4) collapsed into the decode kernel.
+            # Semantics match ops/grammar.filtered_logits + penalty_divisor
+            # + _iter_top_k (ties -> lowest index).
+            vp = dims.padded_vocab
+            x = logit_scr[:, :]  # (_ROWS, Vp)
+            ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+            real = ids < dims.vocab_size
+            xm = jnp.where(real, x, -1e30)  # pad lanes out of the softmax
+            m = jnp.max(xm, axis=-1, keepdims=True)
+            lse = jnp.log(jnp.sum(jnp.exp(xm - m), axis=-1, keepdims=True)) + m
+            # Grammar row per batch row, selected by the prev-token field
+            # bucket: the wrapper packs the bucket one-hot into hist's 8
+            # trailing pad lanes [vp, vp+8); an (8,8)x(8,Vp) MXU matmul
+            # against the (zero-row-padded) grammar table gathers the rows.
+            onehot = hist_ref[:, vp : vp + 8]  # (_ROWS, 8)
+            mask = jax.lax.dot_general(
+                onehot, gram_ref[:, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (_ROWS, Vp)
+            w = (lse - xm) * mask
+            w = jnp.where(real & (mask > 0.0), w, 0.0)
+
+            hist = hist_ref[:, :vp]
+            log_base = jnp.where(
+                ids < dims.dyn_start,
+                jnp.float32(0.00995033085316808),  # ln 1.01
+                jnp.where(
+                    ids < dims.length_start,
+                    jnp.float32(0.019802627296179712),  # ln 1.02
+                    0.0,
+                ),
+            )
+            pen = jnp.minimum(jnp.exp(hist * log_base), 1.2)
+            w = w / pen
+
+            lane = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 128), 1)
+            out_vals = jnp.zeros((x.shape[0], 128), f32)
+            out_idx = jnp.zeros((x.shape[0], 128), jnp.int32)
+            for k in range(3):
+                mk = jnp.max(w, axis=-1, keepdims=True)
+                cand = jnp.where(w == mk, ids, vp)
+                ik = jnp.min(cand, axis=-1, keepdims=True)
+                out_vals = jnp.where(
+                    lane == k, jnp.broadcast_to(mk, out_vals.shape), out_vals
+                )
+                out_idx = jnp.where(
+                    lane == k, jnp.broadcast_to(ik, out_idx.shape), out_idx
+                )
+                w = jnp.where(ids == ik, -1e30, w)
+            vals_ref[:, :] = out_vals
+            idx_ref[:, :] = out_idx
 
 
 def _clamp_layer(i, L):
@@ -234,8 +351,8 @@ def _clamp_layer(i, L):
 @functools.partial(jax.jit, static_argnames=("dims", "interpret"))
 def fused_decode_step(
     x0: jax.Array,  # (B, d_model) f32 embedded token
-    w_in: jax.Array,  # (L, d_model, d_in_pad) bf16
-    w_out: jax.Array,  # (L, d_inner, d_model) bf16
+    w_in: jax.Array,  # (L, d_model, d_in_pad) bf16 | int8
+    w_out: jax.Array,  # (L, d_inner, d_model) bf16 | int8
     conv_w: jax.Array,  # (L, 4, conv_dim) f32
     conv_b: jax.Array,  # (L, 1, conv_dim) f32
     dt_bias: jax.Array,  # (L, 1, 128) f32
@@ -244,67 +361,124 @@ def fused_decode_step(
     e_mat: jax.Array,  # (nheads, d_inner) f32
     norm_w: jax.Array,  # (L, 1, d_inner) f32
     ln: jax.Array,  # (2, d_model) f32
-    lm_w: jax.Array,  # (d_model, padded_vocab) bf16
+    lm_w: jax.Array,  # (d_model, padded_vocab) bf16 | int8
     conv_state: jax.Array,  # (L, B, 3, conv_dim) f32
     ssm_state: jax.Array,  # (L, d_inner, B*N) f32
     dims: DecodeDims,
     interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    scales: Tuple[jax.Array, jax.Array, jax.Array] | None = None,
+    # scales = (w_in_s (L,1,d_in_pad), w_out_s (L,1,d_model), lm_s (1,Vp)):
+    # presence selects the W8A8 int8 variant (weights must then be int8).
+    tail_inputs: Tuple[jax.Array, jax.Array, jax.Array] | None = None,
+    # tail_inputs = (lm_b (1, Vp), grammar (8, Vp) zero-row-padded table,
+    # hist_oh (_ROWS, Vp + 128) penalty counts with the field-bucket one-hot
+    # packed in lanes [Vp, Vp+8)): presence selects the in-kernel sampler
+    # tail — outputs become (vals (B,3), idxs (B,3)) instead of logits.
+) -> Tuple[jax.Array, ...]:
     """Advance the whole model by one token. Returns (logits (B, padded_vocab)
-    pre-bias, new_conv_state, new_ssm_state)."""
+    pre-bias, new_conv_state, new_ssm_state), or with tail_inputs
+    ((vals (B,128), idxs (B,128) — top-3 in lanes 0-2), conv, ssm)."""
     L = dims.n_layers
     B = dims.batch
     bn = B * dims.d_state
+    quant = scales is not None
+    tail = tail_inputs is not None
     x_pad = jnp.pad(x0.astype(jnp.float32), ((0, _ROWS - B), (0, 0)))
 
-    kernel = functools.partial(_decode_kernel, dims=dims)
-    grid = (L + _HEAD_CHUNKS,)
+    kernel = functools.partial(
+        _decode_kernel, dims=dims, quant=quant, tail=tail
+    )
+    grid = (L + _HEAD_CHUNKS + (1 if tail else 0),)
     lc = functools.partial(_clamp_layer, L=L)
-    logits, cs, ss = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((_ROWS, dims.d_model), lambda i: (0, 0)),
-            pl.BlockSpec((1, dims.d_model, dims.d_in_pad), lambda i: (lc(i), 0, 0)),
-            pl.BlockSpec((1, dims.d_inner, dims.d_model), lambda i: (lc(i), 0, 0)),
-            pl.BlockSpec((1, 4, dims.conv_dim), lambda i: (lc(i), 0, 0)),
-            pl.BlockSpec((1, 1, dims.conv_dim), lambda i: (lc(i), 0, 0)),
-            pl.BlockSpec((1, 1, 128), lambda i: (lc(i), 0, 0)),
-            pl.BlockSpec((1, 1, dims.d_inner), lambda i: (lc(i), 0, 0)),
-            pl.BlockSpec((1, 1, dims.d_inner), lambda i: (lc(i), 0, 0)),
-            pl.BlockSpec((dims.nheads, dims.d_inner), lambda i: (0, 0)),
-            pl.BlockSpec((1, 1, dims.d_inner), lambda i: (lc(i), 0, 0)),
-            pl.BlockSpec((2, dims.d_model), lambda i: (0, 0)),
+    hc = lambda i: jnp.clip(i - L, 0, _HEAD_CHUNKS - 1)  # lm chunk index
+    in_specs = [
+        pl.BlockSpec((_ROWS, dims.d_model), lambda i: (0, 0)),
+        pl.BlockSpec((1, dims.d_model, dims.d_in_pad), lambda i: (lc(i), 0, 0)),
+        pl.BlockSpec((1, dims.d_inner, dims.d_model), lambda i: (lc(i), 0, 0)),
+        pl.BlockSpec((1, 4, dims.conv_dim), lambda i: (lc(i), 0, 0)),
+        pl.BlockSpec((1, 1, dims.conv_dim), lambda i: (lc(i), 0, 0)),
+        pl.BlockSpec((1, 1, 128), lambda i: (lc(i), 0, 0)),
+        pl.BlockSpec((1, 1, dims.d_inner), lambda i: (lc(i), 0, 0)),
+        pl.BlockSpec((1, 1, dims.d_inner), lambda i: (lc(i), 0, 0)),
+        pl.BlockSpec((dims.nheads, dims.d_inner), lambda i: (0, 0)),
+        pl.BlockSpec((1, 1, dims.d_inner), lambda i: (lc(i), 0, 0)),
+        pl.BlockSpec((2, dims.d_model), lambda i: (0, 0)),
+        pl.BlockSpec((dims.d_model, dims.head_chunk), lambda i: (0, hc(i))),
+        pl.BlockSpec((1, B, 3, dims.conv_dim), lambda i: (lc(i), 0, 0, 0)),
+        pl.BlockSpec((1, dims.d_inner, bn), lambda i: (lc(i), 0, 0)),
+    ]
+    operands = [
+        x_pad, w_in, w_out, conv_w, conv_b, dt_bias, a_e, d_e, e_mat,
+        norm_w, ln, lm_w, conv_state, ssm_state,
+    ]
+    if quant:
+        in_specs += [
+            pl.BlockSpec((1, 1, dims.d_in_pad), lambda i: (lc(i), 0, 0)),
+            pl.BlockSpec((1, 1, dims.d_model), lambda i: (lc(i), 0, 0)),
+            pl.BlockSpec((1, dims.head_chunk), lambda i: (0, hc(i))),
+        ]
+        operands += list(scales)
+    if tail:
+        lm_b, gram, hist_oh = tail_inputs
+        in_specs += [
+            pl.BlockSpec((1, dims.head_chunk), lambda i: (0, hc(i))),
+            pl.BlockSpec((8, dims.padded_vocab), lambda i: (0, 0)),
             pl.BlockSpec(
-                (dims.d_model, dims.head_chunk),
-                lambda i: (0, jnp.maximum(i - L, 0)),
+                (_ROWS, dims.padded_vocab + 128), lambda i: (0, 0)
             ),
+        ]
+        operands += [lm_b, gram, hist_oh]
+    # conv_state/ssm_state are always operands 12/13 (quant/tail extras
+    # append after); their output slots shift by 2 in tail mode.
+    aliases = {12: 1, 13: 2}
+    if tail:
+        out_specs = [
+            pl.BlockSpec((_ROWS, 128), lambda i: (0, 0)),
+            pl.BlockSpec((_ROWS, 128), lambda i: (0, 0)),
             pl.BlockSpec((1, B, 3, dims.conv_dim), lambda i: (lc(i), 0, 0, 0)),
             pl.BlockSpec((1, dims.d_inner, bn), lambda i: (lc(i), 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (_ROWS, dims.head_chunk), lambda i: (0, jnp.maximum(i - L, 0))
-            ),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((_ROWS, 128), jnp.float32),
+            jax.ShapeDtypeStruct((_ROWS, 128), jnp.int32),
+            jax.ShapeDtypeStruct(conv_state.shape, jnp.float32),
+            jax.ShapeDtypeStruct(ssm_state.shape, jnp.float32),
+        ]
+        aliases = {12: 2, 13: 3}
+        scratch = [
+            pltpu.VMEM((_ROWS, dims.d_model), jnp.float32),
+            pltpu.VMEM((_ROWS, dims.padded_vocab), jnp.float32),
+        ]
+    else:
+        out_specs = [
+            pl.BlockSpec((_ROWS, dims.head_chunk), lambda i: (0, hc(i))),
             pl.BlockSpec((1, B, 3, dims.conv_dim), lambda i: (lc(i), 0, 0, 0)),
             pl.BlockSpec((1, dims.d_inner, bn), lambda i: (lc(i), 0, 0)),
-        ],
-        out_shape=[
+        ]
+        out_shape = [
             jax.ShapeDtypeStruct((_ROWS, dims.padded_vocab), jnp.float32),
             jax.ShapeDtypeStruct(conv_state.shape, jnp.float32),
             jax.ShapeDtypeStruct(ssm_state.shape, jnp.float32),
-        ],
-        scratch_shapes=[pltpu.VMEM((_ROWS, dims.d_model), jnp.float32)],
-        input_output_aliases={12: 1, 13: 2},
+        ]
+        scratch = [pltpu.VMEM((_ROWS, dims.d_model), jnp.float32)]
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(
-        x_pad, w_in, w_out, conv_w, conv_b, dt_bias, a_e, d_e, e_mat,
-        norm_w, ln, lm_w, conv_state, ssm_state,
-    )
+    )(*operands)
+    if tail:
+        vals, idxs, cs, ss = outs
+        return vals[:B], idxs[:B], cs, ss
+    logits, cs, ss = outs
     return logits[:B], cs, ss
 
 
@@ -313,26 +487,53 @@ def fused_decode_step(
 # ---------------------------------------------------------------------------
 
 
-def build_decode_params(variables: Any, cfg: MambaConfig, batch: int):
+def _quantize_cols(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-output-column symmetric int8: returns (q (K,N) int8, s (1,N) f32)."""
+    s = jnp.max(jnp.abs(w), axis=0, keepdims=True) / 127.0  # (1, N)
+    s = jnp.maximum(s, 1e-20)
+    q = jnp.clip(jnp.round(w / s), -127.0, 127.0).astype(jnp.int8)
+    return q, s.astype(jnp.float32)
+
+
+def build_decode_params(
+    variables: Any, cfg: MambaConfig, batch: int, quant: str = "bf16"
+):
     """Stack and pre-process MambaLM flax params for the fused kernel.
 
     Returns a dict pytree (built once per generation, hoisted out of the
-    sampling scan): bf16 matmul weights padded to lane multiples, per-head
+    sampling scan): matmul weights padded to lane multiples, per-head
     vectors pre-broadcast to channels, plus the fp32 embedding and lm_head
     bias used outside the kernel.
+
+    quant='bf16' (default) streams bf16 weights; quant='int8' stores
+    in_proj/out_proj/lm_head per-output-column int8 + scales, halving the
+    DMA-bound kernel's HBM traffic (W8A8 — activations are dynamically
+    quantized per row in-kernel).
     """
+    assert quant in ("bf16", "int8"), quant
     p = variables["params"]
     dims = DecodeDims.create(cfg, batch)
     L = cfg.n_layers
 
     w_in, w_out, conv_w, conv_b = [], [], [], []
     dt_bias, a_e, d_e, norm_w = [], [], [], []
+    w_in_s, w_out_s = [], []
     for i in range(L):
         lp = p[f"layer_{i}"]
         k_in = lp["in_proj"]["kernel"]  # (d_model, d_in_proj)
         pad = dims.d_in_pad - dims.d_in_proj
-        w_in.append(jnp.pad(k_in, ((0, 0), (0, pad))).astype(jnp.bfloat16))
-        w_out.append(lp["out_proj"]["kernel"].astype(jnp.bfloat16))
+        k_in = jnp.pad(k_in, ((0, 0), (0, pad)))
+        k_out = lp["out_proj"]["kernel"]
+        if quant == "int8":
+            q_in, s_in = _quantize_cols(k_in)
+            q_out, s_out = _quantize_cols(k_out)
+            w_in.append(q_in)
+            w_out.append(q_out)
+            w_in_s.append(s_in)
+            w_out_s.append(s_out)
+        else:
+            w_in.append(k_in.astype(jnp.bfloat16))
+            w_out.append(k_out.astype(jnp.bfloat16))
         conv_w.append(lp["conv_w"].astype(jnp.float32))
         conv_b.append(lp["conv_b"].astype(jnp.float32)[None, :])
         dt_bias.append(
@@ -351,7 +552,7 @@ def build_decode_params(variables: Any, cfg: MambaConfig, batch: int):
     lm_w = p["lm_head"]["kernel"]  # (d_model, padded_vocab)
     assert lm_w.shape == (dims.d_model, dims.padded_vocab), lm_w.shape
 
-    return {
+    out = {
         "w_in": jnp.stack(w_in),
         "w_out": jnp.stack(w_out),
         "conv_w": jnp.stack(conv_w),
@@ -364,10 +565,30 @@ def build_decode_params(variables: Any, cfg: MambaConfig, batch: int):
         "ln": jnp.stack(
             [p["norm"]["scale"].astype(jnp.float32), p["norm"]["bias"].astype(jnp.float32)]
         ),
-        "lm_w": lm_w.astype(jnp.bfloat16),
         "lm_b": p["lm_head"]["bias"].astype(jnp.float32),
         "embed": p["token_embedding"]["embedding"].astype(jnp.float32),
     }
+    if quant == "int8":
+        q_lm, s_lm = _quantize_cols(lm_w)
+        out["lm_w"] = q_lm
+        out["w_in_s"] = jnp.stack(w_in_s)
+        out["w_out_s"] = jnp.stack(w_out_s)
+        out["lm_s"] = s_lm  # (1, padded_vocab)
+    else:
+        out["lm_w"] = lm_w.astype(jnp.bfloat16)
+
+    # Grammar weight table for the in-kernel sampler tail (rows 5-7 zero;
+    # an (8,8) one-hot matmul selects the prev-field row — see _tail).
+    from ..config import VOCAB
+    from .grammar import grammar_mask
+
+    g = grammar_mask(VOCAB)  # (5, vocab_size)
+    out["gram8"] = (
+        jnp.zeros((8, dims.padded_vocab), jnp.float32)
+        .at[:5, : VOCAB.vocab_size]
+        .set(g.astype(jnp.float32))
+    )
+    return out
 
 
 def stack_states(states) -> Tuple[jax.Array, jax.Array]:
@@ -406,6 +627,9 @@ def fused_logits_step(
     Semantics match MambaLM.step (bf16 matmul tolerance on logits)."""
     conv_state, ssm_state = carry
     x0 = dp["embed"][token]  # (B, d_model)
+    scales = None
+    if "w_in_s" in dp:  # int8-quantized pack (build_decode_params quant='int8')
+        scales = (dp["w_in_s"], dp["w_out_s"], dp["lm_s"])
     logits, conv_state, ssm_state = fused_decode_step(
         x0,
         dp["w_in"],
@@ -423,6 +647,53 @@ def fused_logits_step(
         ssm_state,
         dims,
         interpret=interpret,
+        scales=scales,
     )
     logits = logits + dp["lm_b"][None, :]
     return logits[:, : cfg.vocab_size], (conv_state, ssm_state)
+
+
+def fused_sample_step(
+    dp: dict,
+    token: jax.Array,  # (B,) int32
+    carry: Tuple[jax.Array, jax.Array],
+    hist: jax.Array,  # (B, vocab_size) int32 penalty-window counts
+    bucket_oh: jax.Array,  # (B, 8) one-hot of the token's field bucket
+    cfg: MambaConfig,
+    dims: DecodeDims,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, Tuple[jax.Array, jax.Array]]:
+    """Decode step WITH the in-kernel sampler tail: embed -> fused kernel
+    (mixers + LN + lm_head + grammar/penalty/top-3). Returns
+    (vals (B,3), idxs (B,3), new_carry) — ties -> lowest index, matching
+    sample/sampler._iter_top_k. The full-vocab logits never leave VMEM."""
+    conv_state, ssm_state = carry
+    x0 = dp["embed"][token]
+    scales = None
+    if "w_in_s" in dp:
+        scales = (dp["w_in_s"], dp["w_out_s"], dp["lm_s"])
+    vp, v, b = dims.padded_vocab, dims.vocab_size, token.shape[0]
+    hist_oh = jnp.zeros((_ROWS, vp + 128), jnp.float32)
+    hist_oh = hist_oh.at[:b, :v].set(hist.astype(jnp.float32))
+    hist_oh = hist_oh.at[:b, vp : vp + 8].set(bucket_oh.astype(jnp.float32))
+    vals, idxs, conv_state, ssm_state = fused_decode_step(
+        x0,
+        dp["w_in"],
+        dp["w_out"],
+        dp["conv_w"],
+        dp["conv_b"],
+        dp["dt_bias"],
+        dp["a_e"],
+        dp["d_e"],
+        dp["e_mat"],
+        dp["norm_w"],
+        dp["ln"],
+        dp["lm_w"],
+        conv_state,
+        ssm_state,
+        dims,
+        interpret=interpret,
+        scales=scales,
+        tail_inputs=(dp["lm_b"][None, :], dp["gram8"], hist_oh),
+    )
+    return vals[:, :3], idxs[:, :3], (conv_state, ssm_state)

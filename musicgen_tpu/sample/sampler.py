@@ -27,6 +27,7 @@ for windows up to `ring_size` tokens).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, NamedTuple, Tuple
 
 import jax
@@ -381,6 +382,57 @@ def sample_tokens(
     return toks.transpose(1, 0)  # (B, num_tokens)
 
 
+def sample_tokens_fused_tail(
+    dp: Any,  # packed params from ops.pallas_decode.build_decode_params
+    init_logits: jax.Array,  # (B, V) logits at the last prompt position
+    init_model_state: Any,  # stacked (conv, ssm) states
+    prompt: jax.Array,  # (B, P) int32
+    cfg: SamplerConfig,
+    rng: jax.Array,
+    model_cfg,
+    dims,
+    layout: VocabLayout = VOCAB,
+    interpret: bool = False,
+) -> jax.Array:
+    """'combined'-mode sampling with the grammar/penalty/top-3 tail fused
+    INTO the decode kernel (ops/pallas_decode fused_sample_step): the
+    (B, 17914) logits never leave VMEM. XLA keeps only the O(3) categorical
+    pick, the k-choice, and the penalty-window bookkeeping.
+
+    Matches `sample_tokens(mode='combined')` semantics (same RNG stream,
+    same tie-breaking; logits at Pallas-kernel tolerance)."""
+    from ..ops.pallas_decode import fused_sample_step
+
+    b, p = prompt.shape
+    last0 = prompt[:, -1]
+    pen0 = init_penalty_state(prompt, cfg.ring_size, layout)
+    # First pick comes from prefill logits via the XLA tail (one step).
+    w0 = filtered_logits(last0, init_logits, layout)
+    w0 = w0 / penalty_divisor(pen0.hist, layout)
+    vals0, idxs0 = _iter_top_k(w0, 3)
+
+    def body(carry, step_key):
+        vals, idxs, model_state, pen, last, stream_idx = carry
+        k_key, pick_key = jax.random.split(step_key)
+        k = _sample_k(last, k_key, layout)
+        next_tok = _pick_from_topk(vals, idxs, k, pick_key, cfg.greedy)
+        pen = push_token(pen, next_tok, layout)
+        bucket_oh = jax.nn.one_hot(field_bucket(next_tok, layout), 8)
+        vals, idxs, model_state = fused_sample_step(
+            dp, next_tok, model_state, pen.hist, bucket_oh,
+            model_cfg, dims, interpret=interpret,
+        )
+        return (
+            (vals, idxs, model_state, pen, next_tok, stream_idx + 1),
+            next_tok,
+        )
+
+    keys = jax.random.split(rng, cfg.num_tokens)
+    carry0 = (vals0, idxs0, init_model_state, pen0, last0, jnp.int32(p))
+    _, toks = jax.lax.scan(body, carry0, keys, unroll=cfg.unroll)
+    return toks.transpose(1, 0)  # (B, num_tokens)
+
+
 # ---------------------------------------------------------------------------
 # Model adapters
 # ---------------------------------------------------------------------------
@@ -393,6 +445,7 @@ def make_sampler(
     cfg=None,
     batch: int | None = None,
     interpret: bool = False,
+    quant: str = "bf16",
 ):
     """Returns (prefill_fn, step_fn) for `sample_tokens`.
 
@@ -401,9 +454,10 @@ def make_sampler(
 
     fused_decode=True (mamba only) routes the step through the fused
     multi-layer Pallas kernel (ops/pallas_decode). The step_fn then expects
-    the PACKED params from `build_decode_params` as its params argument
-    (build once, outside the scan); prefill still takes the flax params.
-    Requires cfg (the MambaConfig) and batch.
+    the PACKED params from `build_decode_params` (same quant) as its params
+    argument (build once, outside the scan); prefill still takes the flax
+    params. Requires cfg (the MambaConfig) and batch. quant='int8' selects
+    the W8A8 variant (halved HBM stream, ~8-bit logit noise).
 
     Params are EXPLICIT arguments (not closed over): closed-over arrays get
     inlined as dense HLO constants, which breaks this environment's
@@ -494,39 +548,72 @@ def generate(
     jit: bool = True,
     mode: str = "combined",
     fused: bool | None = None,
+    quant: str = "bf16",
 ) -> jax.Array:
     """End-to-end conditioned generation (reference scripts/generate.py
     `generate` equivalent). Returns (B, P + num_tokens) full streams.
 
     fused=None auto-selects the fused multi-layer Pallas decode kernel
-    (ops/pallas_decode) for Mamba on accelerators (~2x the XLA step path;
-    bf16-tolerance numerics)."""
+    (ops/pallas_decode) for Mamba on accelerators (with the sampler tail
+    fused in-kernel for mode='combined'); quant='int8' additionally selects
+    the W8A8 weight-quantized variant (~2x decode, ~8-bit logit noise).
+
+    The jitted runner is cached on (model, shapes, sampling options), so
+    repeated calls — e.g. the CLI's per-composer loop — compile once."""
     if fused is None:
         fused = kind == "mamba" and jax.default_backend() != "cpu"
     fused = fused and kind == "mamba"
+    run = _make_generate_runner(
+        model, kind, int(prompt.shape[0]), num_tokens, block_len,
+        greedy, mode, fused, quant, jit,
+    )
+    return run(params, prompt, meta, rng)
+
+
+@functools.lru_cache(maxsize=64)
+def _make_generate_runner(
+    model, kind, batch, num_tokens, block_len, greedy, mode, fused, quant, jit
+):
+    """Build (and cache) the jitted end-to-end generation function.
+
+    flax Modules are frozen dataclasses, so `model` is a valid cache key;
+    jax.jit then caches traces per (param/prompt shapes)."""
     model_cfg = getattr(model, "cfg", None)
+    interp = jax.default_backend() == "cpu"
     prefill, step = make_sampler(
         model, kind, block_len,
-        fused_decode=fused, cfg=model_cfg, batch=prompt.shape[0],
-        interpret=jax.default_backend() == "cpu",
+        fused_decode=fused, cfg=model_cfg, batch=batch,
+        interpret=interp, quant=quant,
     )
     cfg = SamplerConfig(num_tokens=num_tokens, ring_size=max(block_len, 2048),
                         greedy=greedy, mode=mode)
 
+    # With the fused decode kernel, 'combined' mode also fuses the sampler
+    # tail (grammar/penalty/top-3) into the kernel — same semantics, logits
+    # never leave VMEM.
+    fused_tail = fused and mode == "combined"
+
     def run(params, prompt, meta, rng):
         init_logits, state = prefill(params, prompt, meta)
         if fused:
-            from ..ops.pallas_decode import build_decode_params
+            from ..ops.pallas_decode import DecodeDims, build_decode_params
 
-            step_params = build_decode_params(params, model_cfg, prompt.shape[0])
+            step_params = build_decode_params(
+                params, model_cfg, prompt.shape[0], quant=quant
+            )
+            if fused_tail:
+                dims = DecodeDims.create(model_cfg, prompt.shape[0])
+                toks = sample_tokens_fused_tail(
+                    step_params, init_logits, state, prompt, cfg, rng,
+                    model_cfg, dims, interpret=interp,
+                )
+                return jnp.concatenate([prompt, toks], axis=1)
         else:
             step_params = params
         toks = sample_tokens(step, step_params, init_logits, state, prompt, cfg, rng)
         return jnp.concatenate([prompt, toks], axis=1)
 
-    if jit:
-        run = jax.jit(run)
-    return run(params, prompt, meta, rng)
+    return jax.jit(run) if jit else run
 
 
 def reference_windowed_generate(
