@@ -48,9 +48,6 @@ class SamplerConfig:
     # lax.scan unroll factor: >1 amortizes per-step dispatch overhead (the
     # decode loop is latency-bound, DEV_NOTES.md) at the cost of compile time.
     unroll: int = 1
-    # Fuse the vocab-wide tail (grammar filter + penalty + top-3) into one
-    # Pallas kernel (ops/pallas_sampler.py). TPU only.
-    fused_tail: bool = False
     # Sampling mode, matching the three reference generation entry points:
     #   'combined' — tick-window penalty + per-field random top-k multinomial
     #                (scripts/generate.py:14-95, the primary sampler)
@@ -356,19 +353,9 @@ def sample_tokens(
             # no repetition penalty in this mode; window state left untouched
         else:
             k = _sample_k(last, k_key, layout)
-            if cfg.fused_tail:
-                from ..ops.grammar import grammar_mask
-                from ..ops.pallas_sampler import fused_filter_penalty_top3
-
-                mask_rows = grammar_mask(layout)[field_bucket(last, layout)]
-                vals, idxs = fused_filter_penalty_top3(
-                    logits, mask_rows, pen.hist, layout
-                )
-                next_tok = _pick_from_topk(vals, idxs, k, pick_key, cfg.greedy)
-            else:
-                w = filtered_logits(last, logits, layout)  # (B, V)
-                w = w / penalty_divisor(pen.hist, layout)
-                next_tok = _pick_next(w, k, pick_key, cfg.max_topk, cfg.greedy)
+            w = filtered_logits(last, logits, layout)  # (B, V)
+            w = w / penalty_divisor(pen.hist, layout)
+            next_tok = _pick_next(w, k, pick_key, cfg.max_topk, cfg.greedy)
             pen = push_token(pen, next_tok, layout)
         logits, model_state = step_fn(params, next_tok, model_state, stream_idx)
         return (

@@ -162,29 +162,6 @@ def test_cached_equals_reference_windowed_before_truncation():
     np.testing.assert_array_equal(fast_stream, ref_stream)
 
 
-def test_fused_tail_matches_xla_path():
-    """Pallas fused sampler tail (interpret mode) == the XLA ops chain."""
-    import jax
-    from musicgen_tpu.ops.grammar import filtered_logits, grammar_mask
-    from musicgen_tpu.ops.pallas_sampler import fused_filter_penalty_top3
-
-    rng = np.random.default_rng(0)
-    b = 2
-    logits = jnp.asarray(rng.standard_normal((b, VOCAB.vocab_size)) * 3, jnp.float32)
-    last = jnp.asarray([10, VOCAB.tempo_start + 5], jnp.int32)
-    hist = jnp.zeros((b, VOCAB.vocab_size), jnp.int32)
-    hist = hist.at[0, 100].set(7).at[1, VOCAB.dyn_start + 9].set(50)
-
-    w = filtered_logits(last, logits)
-    w = w / penalty_divisor(hist)
-    ref_vals, ref_idx = jax.lax.top_k(w, 3)
-
-    mask_rows = grammar_mask()[field_bucket(last)]
-    vals, idxs = fused_filter_penalty_top3(logits, mask_rows, hist, interpret=True)
-    np.testing.assert_array_equal(np.asarray(idxs), np.asarray(ref_idx))
-    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals), rtol=1e-5, atol=1e-5)
-
-
 def test_transformer_sampling_across_ring_wraparound():
     """Generate past the window size with the transformer: the ring-KV slots
     wrap and evict; streams must stay deterministic and grammatical."""
