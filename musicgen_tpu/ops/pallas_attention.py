@@ -198,6 +198,10 @@ def flash_relpos_attention(
 ) -> jax.Array:
     """Drop-in replacement for ops.attention.relpos_attention (forward)."""
     t = q.shape[2]
+    # The learned buffer may be longer than the sequence (model configured
+    # for block 2048, run at a shorter block): use the first T rows, exactly
+    # like the XLA path's rel_emb[:, :t, :].
+    rel_emb = rel_emb[:, :t, :]
     if t % block_q or t % block_k:
         # Pad T so tiles divide evenly; padded queries/keys are masked by the
         # causal rule (their rows are sliced off, their cols are > any real
@@ -540,6 +544,9 @@ def flash_relpos_attention_train(
     """Differentiable fused attention: flash forward + flash backward
     (dQ/dK/dV/dRel), the training-path replacement for the XLA oracle."""
     t = q.shape[2]
+    # See flash_relpos_attention: slice the (possibly longer) learned buffer
+    # to T rows; the VJP then produces zero cotangents for unused rows.
+    rel_emb = rel_emb[:, :t, :]
     pad = 0
     if t % block_q or t % block_k:
         pad = (-t) % max(block_q, block_k)

@@ -107,3 +107,49 @@ def test_flash_backward_unaligned_t():
         err = float(jnp.max(jnp.abs(a - b_)))
         den = float(jnp.max(jnp.abs(a))) + 1e-9
         assert err / den < 3e-2, f"{name}: rel err {err / den}"
+
+
+def test_flash_with_longer_rel_buffer():
+    """Model configured for a longer block than the training sequence: the
+    flash path must slice the learned rel buffer to T rows like the XLA
+    path does (regression: convergence run at --block-len 1024 with the
+    default block-2048 config crashed the fused train path)."""
+    import numpy as np
+
+    from musicgen_tpu.ops.pallas_attention import flash_relpos_attention_train
+
+    rng = np.random.default_rng(5)
+    b, h, t, d = 1, 2, 64, 32
+    buf_rows = 2 * t  # longer learned buffer
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    rel = jnp.asarray(rng.standard_normal((h, buf_rows, d)), jnp.float32)
+    scale = 0.1
+
+    ref = relpos_attention(q, k, v, rel, scale)
+    got = flash_relpos_attention(q, k, v, rel, scale, block_q=32, block_k=32,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+    def loss_flash(rel):
+        return jnp.sum(
+            flash_relpos_attention_train(
+                q, k, v, rel, scale, block_q=32, block_k=32, interpret=True
+            )
+            ** 2
+        )
+
+    def loss_ref(rel):
+        return jnp.sum(relpos_attention(q, k, v, rel, scale) ** 2)
+
+    g_got = jax.grad(loss_flash)(rel)
+    g_ref = jax.grad(loss_ref)(rel)
+    assert g_got.shape == (h, buf_rows, d)
+    # unused buffer rows must get zero cotangent
+    np.testing.assert_allclose(np.asarray(g_got[:, t:, :]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g_got[:, :t, :]), np.asarray(g_ref[:, :t, :]),
+        rtol=5e-2, atol=5e-2,
+    )
