@@ -57,12 +57,14 @@ def main() -> None:
     p.add_argument("--decode-skip", type=int, default=None,
                    help="decode stream[skip:] instead of the last "
                         "length+300 tokens (testing variant decodes [800:])")
-    p.add_argument("--fused-decode", choices=["auto", "on", "off", "int8"],
+    p.add_argument("--fused-decode",
+                   choices=["auto", "on", "off", "int8", "int8w"],
                    default="auto",
                    help="mamba fused multi-layer Pallas decode kernel "
-                        "(auto: on for TPU; bf16-tolerance numerics; int8: "
-                        "W8A8 quantized weights, ~1.7x faster decode with "
-                        "~8-bit logit noise)")
+                        "(auto: on for TPU; bf16-tolerance numerics). "
+                        "int8w: weight-only int8, ~1.5x faster decode at "
+                        "~2x bf16 logit noise; int8: W8A8, fastest but "
+                        "noisy — see BENCHMARKS.md)")
     p.add_argument("--reference-windowing", action="store_true",
                    help="exact reference semantics: re-forward the slid "
                         "window per token (O(window)/token; validation only)")
@@ -124,10 +126,10 @@ def main() -> None:
                 # with the prompt tail (the windowed mode above reproduces
                 # the testing variant's exact truncation semantics)
                 src = src[:, -block_len:]
-            fused = {"auto": None, "on": True, "off": False, "int8": True}[
-                args.fused_decode
-            ]
-            quant = "int8" if args.fused_decode == "int8" else "bf16"
+            fused = {"auto": None, "on": True, "off": False,
+                     "int8": True, "int8w": True}[args.fused_decode]
+            quant = (args.fused_decode
+                     if args.fused_decode in ("int8", "int8w") else "bf16")
             streams = generate(
                 model, params, args.model, src, meta, args.length, block_len,
                 jax.random.PRNGKey(args.seed), greedy=args.greedy,

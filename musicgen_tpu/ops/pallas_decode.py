@@ -144,6 +144,16 @@ def _qdot(x, wq, s_col):
     return acc.astype(jnp.float32) * s_x * s_col
 
 
+def _w8dot(x, wq, s_col):
+    """Weight-only int8 (W8A16): int8 weights dequantized to bf16 on the fly,
+    bf16 activations, fp32 accumulation, per-column scale folded into the
+    output. Same halved HBM stream as W8A8 but no activation-quant noise —
+    on trained weights the logit error is ~2x bf16's instead of ~10x
+    (experiments/int8_quality.py)."""
+    acc = _dot(x.astype(jnp.bfloat16), wq.astype(jnp.bfloat16))
+    return acc * s_col
+
+
 def _decode_kernel(
     # inputs
     x_in_ref,  # (_ROWS, d_model) f32 — embedded token, zero-padded rows
@@ -166,11 +176,11 @@ def _decode_kernel(
     # scratch. Then outputs (conv_state_out, ssm_state_out) and scratch.
     *rest,
     dims: DecodeDims,
-    quant: bool = False,
+    quant: str = "none",  # 'none' | 'w8a8' | 'w8a16'
     tail: bool = False,
 ):
     rest = list(rest)
-    if quant:
+    if quant != "none":
         w_in_s_ref, w_out_s_ref, lm_s_ref = rest[:3]
         del rest[:3]
     if tail:
@@ -194,8 +204,10 @@ def _decode_kernel(
     def _mixer():
         x = x_scr[:, :]  # (_ROWS, d_model) f32
 
-        if quant:
+        if quant == "w8a8":
             zx = _qdot(x, w_in_ref[0], w_in_s_ref[0, 0][None, :])
+        elif quant == "w8a16":
+            zx = _w8dot(x, w_in_ref[0], w_in_s_ref[0, 0][None, :])
         else:
             zx = _dot(x.astype(jnp.bfloat16), w_in_ref[0])  # (_ROWS, d_in_pad)
 
@@ -259,8 +271,10 @@ def _decode_kernel(
         g_rows = jnp.concatenate(
             [g, jnp.zeros((_ROWS - B, di), f32)], axis=0
         )  # (_ROWS, d_inner); zero pad rows keep x_scr pad rows zero
-        if quant:
+        if quant == "w8a8":
             x_scr[:, :] = _qdot(g_rows, w_out_ref[0], w_out_s_ref[0, 0][None, :])
+        elif quant == "w8a16":
+            x_scr[:, :] = _w8dot(g_rows, w_out_ref[0], w_out_s_ref[0, 0][None, :])
         else:
             x_scr[:, :] = _dot(g_rows.astype(jnp.bfloat16), w_out_ref[0])
 
@@ -274,8 +288,10 @@ def _decode_kernel(
         var = jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean
         h = (x - mean) * jax.lax.rsqrt(var + 1e-6)
         h = h * ln_ref[0][None, :] + ln_ref[1][None, :]
-        if quant:
+        if quant == "w8a8":
             chunk_logits = _qdot(h, lm_w_ref[:, :], lm_s_ref[:, :])
+        elif quant == "w8a16":
+            chunk_logits = _w8dot(h, lm_w_ref[:, :], lm_s_ref[:, :])
         else:
             chunk_logits = _dot(h.astype(jnp.bfloat16), lm_w_ref[:, :])
         if tail:
@@ -348,7 +364,7 @@ def _clamp_layer(i, L):
     return jnp.minimum(i, L - 1)
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "interpret"))
+@functools.partial(jax.jit, static_argnames=("dims", "interpret", "quant_mode"))
 def fused_decode_step(
     x0: jax.Array,  # (B, d_model) f32 embedded token
     w_in: jax.Array,  # (L, d_model, d_in_pad) bf16 | int8
@@ -368,7 +384,10 @@ def fused_decode_step(
     interpret: bool = False,
     scales: Tuple[jax.Array, jax.Array, jax.Array] | None = None,
     # scales = (w_in_s (L,1,d_in_pad), w_out_s (L,1,d_model), lm_s (1,Vp)):
-    # presence selects the W8A8 int8 variant (weights must then be int8).
+    # presence selects an int8 variant (weights must then be int8);
+    # quant_mode picks 'w8a8' (activations quantized too, MXU int8 path) or
+    # 'w8a16' (weights dequantized to bf16 in-kernel).
+    quant_mode: str = "w8a8",
     tail_inputs: Tuple[jax.Array, jax.Array, jax.Array] | None = None,
     # tail_inputs = (lm_b (1, Vp), grammar (8, Vp) zero-row-padded table,
     # hist_oh (_ROWS, Vp + 128) penalty counts with the field-bucket one-hot
@@ -381,7 +400,7 @@ def fused_decode_step(
     L = dims.n_layers
     B = dims.batch
     bn = B * dims.d_state
-    quant = scales is not None
+    quant = quant_mode if scales is not None else "none"
     tail = tail_inputs is not None
     x_pad = jnp.pad(x0.astype(jnp.float32), ((0, _ROWS - B), (0, 0)))
 
@@ -411,7 +430,7 @@ def fused_decode_step(
         x_pad, w_in, w_out, conv_w, conv_b, dt_bias, a_e, d_e, e_mat,
         norm_w, ln, lm_w, conv_state, ssm_state,
     ]
-    if quant:
+    if quant != "none":
         in_specs += [
             pl.BlockSpec((1, 1, dims.d_in_pad), lambda i: (lc(i), 0, 0)),
             pl.BlockSpec((1, 1, dims.d_model), lambda i: (lc(i), 0, 0)),
@@ -505,12 +524,13 @@ def build_decode_params(
     vectors pre-broadcast to channels, plus the fp32 embedding and lm_head
     bias used outside the kernel.
 
-    quant='bf16' (default) streams bf16 weights; quant='int8' stores
-    in_proj/out_proj/lm_head per-output-column int8 + scales, halving the
-    DMA-bound kernel's HBM traffic (W8A8 — activations are dynamically
-    quantized per row in-kernel).
+    quant='bf16' (default) streams bf16 weights; 'int8' (W8A8) and 'int8w'
+    (W8A16, weight-only) store in_proj/out_proj/lm_head per-output-column
+    int8 + scales, halving the DMA-bound kernel's HBM traffic. The int8
+    pack is identical for both modes — execution differs in-kernel.
     """
-    assert quant in ("bf16", "int8"), quant
+    assert quant in ("bf16", "int8", "int8w"), quant
+    quant = "int8" if quant in ("int8", "int8w") else "bf16"
     p = variables["params"]
     dims = DecodeDims.create(cfg, batch)
     L = cfg.n_layers
@@ -621,6 +641,7 @@ def fused_logits_step(
     cfg: MambaConfig,
     dims: DecodeDims,
     interpret: bool = False,
+    quant_mode: str = "w8a8",  # used when dp is an int8 pack
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Full decode step: embed -> fused kernel (mixers + LN + lm_head).
 
@@ -648,6 +669,7 @@ def fused_logits_step(
         dims,
         interpret=interpret,
         scales=scales,
+        quant_mode=quant_mode,
     )
     logits = logits + dp["lm_b"][None, :]
     return logits[:, : cfg.vocab_size], (conv_state, ssm_state)
@@ -662,6 +684,7 @@ def fused_sample_step(
     cfg: MambaConfig,
     dims: DecodeDims,
     interpret: bool = False,
+    quant_mode: str = "w8a8",  # used when dp is an int8 pack
 ) -> Tuple[jax.Array, jax.Array, Tuple[jax.Array, jax.Array]]:
     """Decode step WITH the in-kernel sampler tail: embed -> fused kernel
     (mixers + LN + lm_head + grammar/penalty/top-3). Returns
@@ -694,6 +717,7 @@ def fused_sample_step(
         dims,
         interpret=interpret,
         scales=scales,
+        quant_mode=quant_mode,
         tail_inputs=(dp["lm_b"][None, :], dp["gram8"], hist_oh),
     )
     return vals[:, :3], idxs[:, :3], (conv_state, ssm_state)

@@ -380,6 +380,7 @@ def sample_tokens_fused_tail(
     dims,
     layout: VocabLayout = VOCAB,
     interpret: bool = False,
+    quant: str = "bf16",
 ) -> jax.Array:
     """'combined'-mode sampling with the grammar/penalty/top-3 tail fused
     INTO the decode kernel (ops/pallas_decode fused_sample_step): the
@@ -408,6 +409,7 @@ def sample_tokens_fused_tail(
         vals, idxs, model_state = fused_sample_step(
             dp, next_tok, model_state, pen.hist, bucket_oh,
             model_cfg, dims, interpret=interpret,
+            quant_mode="w8a16" if quant == "int8w" else "w8a8",
         )
         return (
             (vals, idxs, model_state, pen, next_tok, stream_idx + 1),
@@ -491,9 +493,12 @@ def make_sampler(
                 )
                 return logits[:, -1, :], stack_states(states)
 
+            qmode = "w8a16" if quant == "int8w" else "w8a8"
+
             def step(dp, token, carry, stream_idx):
                 return fused_logits_step(
-                    dp, token, carry, cfg, dims, interpret=interpret
+                    dp, token, carry, cfg, dims, interpret=interpret,
+                    quant_mode=qmode,
                 )
 
             return prefill, step
@@ -592,7 +597,7 @@ def _make_generate_runner(
                 dims = DecodeDims.create(model_cfg, prompt.shape[0])
                 toks = sample_tokens_fused_tail(
                     step_params, init_logits, state, prompt, cfg, rng,
-                    model_cfg, dims, interpret=interp,
+                    model_cfg, dims, interpret=interp, quant=quant,
                 )
                 return jnp.concatenate([prompt, toks], axis=1)
         else:

@@ -141,12 +141,12 @@ def test_fused_step_int8_close_to_oracle(small_setup):
 
 def test_generate_fused_integration(small_setup):
     """generate(fused=True) end-to-end on the interpret path: grammatical
-    stream, correct shape, both quant modes."""
+    stream, correct shape, all quant modes."""
     from musicgen_tpu.ops.grammar import field_bucket
     from musicgen_tpu.sample.sampler import generate
 
     cfg, model, params, prompt, meta, logits0, states = small_setup
-    for quant in ("bf16", "int8"):
+    for quant in ("bf16", "int8", "int8w"):
         streams = generate(
             model, params, "mamba", prompt, meta, 6, prompt.shape[1],
             jax.random.PRNGKey(0), fused=True, quant=quant,
