@@ -71,7 +71,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import MambaConfig
 
-_ROWS = 8  # matmul row block (fp32 sublane tile); batch padded up to this
+_ROWS = 8  # minimum matmul row block (fp32 sublane tile); see DecodeDims.rows
 _HEAD_CHUNKS = 5  # lm_head streamed in this many N-chunks
 
 
@@ -92,6 +92,9 @@ class DecodeDims:
     vocab_size: int  # 17914 (unpadded; tail softmax excludes pad lanes)
     dyn_start: int  # vocab field boundaries (tail penalty bases)
     length_start: int
+    rows: int  # matmul row block = batch padded up to a sublane multiple;
+    # weights stream ONCE per step regardless of batch, so serving batches
+    # (up to VMEM limits) ride the same DMA cost
 
     @classmethod
     def create(cls, cfg: MambaConfig, batch: int) -> "DecodeDims":
@@ -106,6 +109,7 @@ class DecodeDims:
             vocab_size=cfg.vocab_size,
             dyn_start=VOCAB.dyn_start,
             length_start=VOCAB.length_start,
+            rows=max(_ROWS, -(-batch // 8) * 8),
             n_layers=cfg.n_layers,
             batch=batch,
             d_model=cfg.d_model,
@@ -269,8 +273,8 @@ def _decode_kernel(
         g = g * jax.lax.rsqrt(var + 1e-5) * norm_w_ref[0, 0][None, :]
 
         g_rows = jnp.concatenate(
-            [g, jnp.zeros((_ROWS - B, di), f32)], axis=0
-        )  # (_ROWS, d_inner); zero pad rows keep x_scr pad rows zero
+            [g, jnp.zeros((dims.rows - B, di), f32)], axis=0
+        )  # (rows, d_inner); zero pad rows keep x_scr pad rows zero
         if quant == "w8a8":
             x_scr[:, :] = _qdot(g_rows, w_out_ref[0], w_out_s_ref[0, 0][None, :])
         elif quant == "w8a16":
@@ -402,7 +406,7 @@ def fused_decode_step(
     bn = B * dims.d_state
     quant = quant_mode if scales is not None else "none"
     tail = tail_inputs is not None
-    x_pad = jnp.pad(x0.astype(jnp.float32), ((0, _ROWS - B), (0, 0)))
+    x_pad = jnp.pad(x0.astype(jnp.float32), ((0, dims.rows - B), (0, 0)))
 
     kernel = functools.partial(
         _decode_kernel, dims=dims, quant=quant, tail=tail
@@ -411,7 +415,7 @@ def fused_decode_step(
     lc = functools.partial(_clamp_layer, L=L)
     hc = lambda i: jnp.clip(i - L, 0, _HEAD_CHUNKS - 1)  # lm chunk index
     in_specs = [
-        pl.BlockSpec((_ROWS, dims.d_model), lambda i: (0, 0)),
+        pl.BlockSpec((dims.rows, dims.d_model), lambda i: (0, 0)),
         pl.BlockSpec((1, dims.d_model, dims.d_in_pad), lambda i: (lc(i), 0, 0)),
         pl.BlockSpec((1, dims.d_inner, dims.d_model), lambda i: (lc(i), 0, 0)),
         pl.BlockSpec((1, 4, dims.conv_dim), lambda i: (lc(i), 0, 0)),
@@ -443,7 +447,7 @@ def fused_decode_step(
             pl.BlockSpec((1, dims.head_chunk), lambda i: (0, hc(i))),
             pl.BlockSpec((8, dims.padded_vocab), lambda i: (0, 0)),
             pl.BlockSpec(
-                (_ROWS, dims.padded_vocab + 128), lambda i: (0, 0)
+                (dims.rows, dims.padded_vocab + 128), lambda i: (0, 0)
             ),
         ]
         operands += [lm_b, gram, hist_oh]
@@ -452,34 +456,34 @@ def fused_decode_step(
     aliases = {12: 1, 13: 2}
     if tail:
         out_specs = [
-            pl.BlockSpec((_ROWS, 128), lambda i: (0, 0)),
-            pl.BlockSpec((_ROWS, 128), lambda i: (0, 0)),
+            pl.BlockSpec((dims.rows, 128), lambda i: (0, 0)),
+            pl.BlockSpec((dims.rows, 128), lambda i: (0, 0)),
             pl.BlockSpec((1, B, 3, dims.conv_dim), lambda i: (lc(i), 0, 0, 0)),
             pl.BlockSpec((1, dims.d_inner, bn), lambda i: (lc(i), 0, 0)),
         ]
         out_shape = [
-            jax.ShapeDtypeStruct((_ROWS, 128), jnp.float32),
-            jax.ShapeDtypeStruct((_ROWS, 128), jnp.int32),
+            jax.ShapeDtypeStruct((dims.rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((dims.rows, 128), jnp.int32),
             jax.ShapeDtypeStruct(conv_state.shape, jnp.float32),
             jax.ShapeDtypeStruct(ssm_state.shape, jnp.float32),
         ]
         aliases = {12: 2, 13: 3}
         scratch = [
-            pltpu.VMEM((_ROWS, dims.d_model), jnp.float32),
-            pltpu.VMEM((_ROWS, dims.padded_vocab), jnp.float32),
+            pltpu.VMEM((dims.rows, dims.d_model), jnp.float32),
+            pltpu.VMEM((dims.rows, dims.padded_vocab), jnp.float32),
         ]
     else:
         out_specs = [
-            pl.BlockSpec((_ROWS, dims.head_chunk), lambda i: (0, hc(i))),
+            pl.BlockSpec((dims.rows, dims.head_chunk), lambda i: (0, hc(i))),
             pl.BlockSpec((1, B, 3, dims.conv_dim), lambda i: (lc(i), 0, 0, 0)),
             pl.BlockSpec((1, dims.d_inner, bn), lambda i: (lc(i), 0, 0)),
         ]
         out_shape = [
-            jax.ShapeDtypeStruct((_ROWS, dims.padded_vocab), jnp.float32),
+            jax.ShapeDtypeStruct((dims.rows, dims.padded_vocab), jnp.float32),
             jax.ShapeDtypeStruct(conv_state.shape, jnp.float32),
             jax.ShapeDtypeStruct(ssm_state.shape, jnp.float32),
         ]
-        scratch = [pltpu.VMEM((_ROWS, dims.d_model), jnp.float32)]
+        scratch = [pltpu.VMEM((dims.rows, dims.d_model), jnp.float32)]
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -696,7 +700,7 @@ def fused_sample_step(
     if "w_in_s" in dp:
         scales = (dp["w_in_s"], dp["w_out_s"], dp["lm_s"])
     vp, v, b = dims.padded_vocab, dims.vocab_size, token.shape[0]
-    hist_oh = jnp.zeros((_ROWS, vp + 128), jnp.float32)
+    hist_oh = jnp.zeros((dims.rows, vp + 128), jnp.float32)
     hist_oh = hist_oh.at[:b, :v].set(hist.astype(jnp.float32))
     hist_oh = hist_oh.at[:b, vp : vp + 8].set(bucket_oh.astype(jnp.float32))
     vals, idxs, conv_state, ssm_state = fused_decode_step(
