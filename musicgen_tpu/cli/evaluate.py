@@ -51,6 +51,10 @@ def main() -> None:
                          "over the corpus (Test Accuracy.ipynb, "
                          "get_dataloader_full(shuffle=False))")
     pa.add_argument("--block-len", type=int, default=2048)
+    pa.add_argument("--repeats", type=int, default=1,
+                    help="random-crop passes over the corpus (random crops "
+                         "give a fresh last position per pass; >1 thickens "
+                         "the per-field sample counts on small corpora)")
     pa.add_argument("--crop", choices=["random", "start", "end"],
                     default="random",
                     help="per-file crop (reference ships random; end gives "
@@ -82,7 +86,11 @@ def main() -> None:
                                          block_len=args.block_len,
                                          crop=args.crop)
         if args.batches is None:
-            batches = full_batches(ds, cfg.values.batch_size)
+            def _repeat_passes():
+                for _ in range(max(args.repeats, 1)):
+                    yield from full_batches(ds, cfg.values.batch_size)
+
+            batches = _repeat_passes()
         else:
             _, test_iter = make_loaders(ds, TrainValues(block_len=args.block_len))
             batches = (test_iter.sample_batch() for _ in range(args.batches))
