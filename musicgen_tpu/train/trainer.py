@@ -100,7 +100,16 @@ def checkpoint_name(loss: float) -> str:
     return f"loss_{loss:.2f}_time_{now}"
 
 
-def save_checkpoint(directory: str, state: TrainState, loss: float) -> str:
+def save_checkpoint(
+    directory: str, state: TrainState, loss: float, keep: int = 3
+) -> str:
+    """Save params + optimizer state; prune to the newest `keep` checkpoints.
+
+    The reference keeps every .pth (train.py:69-77) but saves no optimizer
+    state; with Adam moments included each save is ~3x params, so unpruned
+    long runs exhaust disk (keep<=0 disables pruning)."""
+    import shutil
+
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(directory, checkpoint_name(loss)))
@@ -111,6 +120,17 @@ def save_checkpoint(directory: str, state: TrainState, loss: float) -> str:
          "step": np.asarray(state.step)},
     )
     ckptr.wait_until_finished()
+    if keep > 0:
+        entries = sorted(
+            (
+                os.path.join(directory, d)
+                for d in os.listdir(directory)
+                if d.startswith("loss_")
+            ),
+            key=os.path.getmtime,
+        )
+        for old in entries[:-keep]:
+            shutil.rmtree(old, ignore_errors=True)
     return path
 
 
