@@ -198,6 +198,12 @@ def flash_relpos_attention(
 ) -> jax.Array:
     """Drop-in replacement for ops.attention.relpos_attention (forward)."""
     t = q.shape[2]
+    out_dtype = q.dtype
+    # f32 refs: Mosaic's dynamic sublane offsets in the rel-band reads are
+    # 8-aligned for f32 but need 16-alignment for bf16 blocks (bf16 inputs
+    # failed to compile); the kernel casts to bf16 for its matmuls anyway.
+    q, k, v = (x.astype(jnp.float32) for x in (q, k, v))
+    rel_emb = rel_emb.astype(jnp.float32)
     # The learned buffer may be longer than the sequence (model configured
     # for block 2048, run at a shorter block): use the first T rows, exactly
     # like the XLA path's rel_emb[:, :t, :].
@@ -216,7 +222,7 @@ def flash_relpos_attention(
     out, _ = _flash_fwd(
         q, k, v, rel_emb, scale, n_meta, block_q, block_k, interpret
     )
-    return out[:, :, :t, :]
+    return out[:, :, :t, :].astype(out_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -544,6 +550,11 @@ def flash_relpos_attention_train(
     """Differentiable fused attention: flash forward + flash backward
     (dQ/dK/dV/dRel), the training-path replacement for the XLA oracle."""
     t = q.shape[2]
+    out_dtype = q.dtype
+    # See flash_relpos_attention: f32 refs for Mosaic alignment; the VJP of
+    # astype casts the gradients back automatically.
+    q, k, v = (x.astype(jnp.float32) for x in (q, k, v))
+    rel_emb = rel_emb.astype(jnp.float32)
     # See flash_relpos_attention: slice the (possibly longer) learned buffer
     # to T rows; the VJP then produces zero cotangents for unused rows.
     rel_emb = rel_emb[:, :t, :]
@@ -556,4 +567,5 @@ def flash_relpos_attention_train(
         rel_emb = jnp.pad(rel_emb, ((0, 0), (pad, 0), (0, 0)))
     out = _flash_train_core(q, k, v, rel_emb, scale, n_meta, block_q,
                             block_k, interpret)
-    return out[:, :, : q.shape[2] - pad, :] if pad else out
+    out = out[:, :, : q.shape[2] - pad, :] if pad else out
+    return out.astype(out_dtype)

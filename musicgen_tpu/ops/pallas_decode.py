@@ -272,9 +272,12 @@ def _decode_kernel(
         var = jnp.mean(g * g, axis=-1, keepdims=True)
         g = g * jax.lax.rsqrt(var + 1e-5) * norm_w_ref[0, 0][None, :]
 
-        g_rows = jnp.concatenate(
-            [g, jnp.zeros((dims.rows - B, di), f32)], axis=0
-        )  # (rows, d_inner); zero pad rows keep x_scr pad rows zero
+        if dims.rows == B:
+            g_rows = g
+        else:
+            g_rows = jnp.concatenate(
+                [g, jnp.zeros((dims.rows - B, di), f32)], axis=0
+            )  # (rows, d_inner); zero pad rows keep x_scr pad rows zero
         if quant == "w8a8":
             x_scr[:, :] = _qdot(g_rows, w_out_ref[0], w_out_s_ref[0, 0][None, :])
         elif quant == "w8a16":

@@ -207,13 +207,15 @@ def test_fused_tail_matches_xla_tail(small_setup):
         tok = idxs[:, 0].astype(jnp.int32)
 
 
-def test_fused_step_large_batch():
-    """batch > 8: the row block widens (DecodeDims.rows) and results still
-    match the XLA step — serving batches ride one weight stream per step."""
+@pytest.mark.parametrize("b,rows", [(8, 8), (10, 16)])
+def test_fused_step_large_batch(b, rows):
+    """batch >= 8: the row block widens (DecodeDims.rows; b == rows hits the
+    no-pad path) and results still match the XLA step — serving batches
+    ride one weight stream per step."""
     cfg = MambaConfig(d_model=256, n_layers=2)
     model = MambaLM(cfg)
     rng = np.random.default_rng(3)
-    b, p = 10, 32
+    p = 32
     prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, p)), jnp.int32)
     meta = jnp.asarray(
         rng.integers(0, cfg.metadata_vocab_size, (b, NUM_META)), jnp.int32
@@ -221,7 +223,7 @@ def test_fused_step_large_batch():
     params = model.init(jax.random.PRNGKey(0), prompt[:, :8], meta)
     logits0, states = model.apply(params, prompt, meta, method=MambaLM.prefill)
     dims = DecodeDims.create(cfg, b)
-    assert dims.rows == 16
+    assert dims.rows == rows
     dp = build_decode_params(params, cfg, b)
     carry = stack_states(states)
     tok = jnp.argmax(logits0[:, -1, :], -1).astype(jnp.int32)
