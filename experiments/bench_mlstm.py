@@ -19,13 +19,13 @@ v = jnp.asarray(rng.standard_normal((b, t, h, dh)) * 0.3, jnp.float32)
 i_pre = jnp.asarray(rng.standard_normal((b, t, h)), jnp.float32)
 f_pre = jnp.asarray(rng.standard_normal((b, t, h)) + 3.0, jnp.float32)
 
-fns = {}
-if hasattr(M, "mlstm_chunkwise"):
-    fns["chunkwise"] = jax.jit(lambda: M.mlstm_chunkwise(q, k, v, i_pre, f_pre)[0])
-if hasattr(M, "mlstm_parallel"):
-    fns["parallel(T^2)"] = jax.jit(lambda: M.mlstm_parallel(q, k, v, i_pre, f_pre))
-if hasattr(M, "mlstm_sequential"):
-    fns["sequential"] = jax.jit(lambda: M.mlstm_sequential(q, k, v, i_pre, f_pre))
+# reduce on-device: fetching the (B,T,H,DH) output over the remote tunnel
+# dominates otherwise (~16 MB at ~50 MB/s)
+fns = {
+    "chunkwise": jax.jit(lambda: jnp.sum(M.mlstm_chunkwise(q, k, v, i_pre, f_pre)[0])),
+    "parallel(T^2)": jax.jit(lambda: jnp.sum(M.mlstm_parallel(q, k, v, i_pre, f_pre))),
+    "sequential": jax.jit(lambda: jnp.sum(M.mlstm_sequential(q, k, v, i_pre, f_pre))),
+}
 
 for name, fn in fns.items():
     t0 = time.perf_counter(); np.asarray(jax.tree.leaves(fn())[0])

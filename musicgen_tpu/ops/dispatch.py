@@ -10,8 +10,8 @@ from __future__ import annotations
 import jax
 
 
-def resolve_impl(impl: str) -> str:
-    """'auto' -> 'pallas' unless running on CPU; 'xla'/'pallas' unchanged."""
+def resolve_impl(impl: str, cpu_fallback: str = "xla", accel: str = "pallas") -> str:
+    """'auto' -> `accel` unless running on CPU; explicit values unchanged."""
     if impl == "auto":
-        return "pallas" if jax.default_backend() != "cpu" else "xla"
+        return accel if jax.default_backend() != "cpu" else cpu_fallback
     return impl
