@@ -29,13 +29,15 @@ FLOOR = (time.perf_counter() - t0) / 6
 
 def scan_for(quant):
     dp = build_decode_params(params, cfg, batch, quant=quant)
+    qm = "w8a16" if quant == "int8w" else "w8a8"
     carry0 = stack_states(states)
     @jax.jit
     def run(dp, carry):
         tok0 = jnp.argmax(logits0[:, -1, :], -1).astype(jnp.int32)
         def b(c, _):
             tok, carry = c
-            logits, carry = fused_logits_step(dp, tok, carry, cfg, dims)
+            logits, carry = fused_logits_step(dp, tok, carry, cfg, dims,
+                                              quant_mode=qm)
             tok = jnp.argmax(logits[:, :100], -1).astype(jnp.int32)
             return (tok, carry), tok[0]
         (_, _), ys = jax.lax.scan(b, (tok0, carry), None, length=N)
@@ -50,6 +52,7 @@ def scan_for(quant):
 
 scan_for("bf16")
 scan_for("int8")
+scan_for("int8w")
 
 # logit parity int8 vs XLA oracle over 5 greedy steps
 dp8 = build_decode_params(params, cfg, batch, quant="int8")
