@@ -463,9 +463,19 @@ def make_sampler(
             )
             return logits[:, -1, :], caches
 
+        # The physical KV cache is padded to the MODEL's trained context
+        # (cfg.seq_len); when sampling with a shorter window (--block-len,
+        # the reference's generate_midi_testing study) the ring spans only
+        # block_len+6 slots — mask the rest with age -1.
+        phys_slots = model.cfg.seq_len
+
         def step(params, token, caches, stream_idx):
             total = stream_idx + 1
             ages, rel_base = step_geometry(total, block_len)
+            if ages.shape[0] < phys_slots:
+                ages = jnp.pad(
+                    ages, (0, phys_slots - ages.shape[0]), constant_values=-1
+                )
             slot = token_slot(stream_idx, block_len)
             return model.apply(
                 params, token, caches, slot, ages, rel_base,

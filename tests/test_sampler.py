@@ -385,3 +385,47 @@ def test_empirical_length_weights():
     assert np.isclose(m_emp[1, ls], 1.0013)
     assert np.isclose(m_emp[1, ls + 498], 1.0014)
     assert m_emp[1, VOCAB.time_start - 1] == 0.0  # last length token excluded
+
+
+def test_transformer_sampling_shorter_window_than_model():
+    """--block-len shorter than the model's trained context (the reference's
+    generate_midi_testing study): the physical KV cache keeps the model's
+    slot count; ring ages must mask the unused tail (regression: shape
+    mismatch (B,H,model_seq) vs (B,H,window+6))."""
+    from musicgen_tpu.config import TransformerConfig
+    from musicgen_tpu.models.transformer import TransformerLM
+
+    cfg = TransformerConfig(
+        n_embd=32, n_heads=4, n_layer=2, block_len=32, dropout=0.0,
+        vocab_size=VOCAB.vocab_size, metadata_vocab_size=9,
+    )
+    model = TransformerLM(cfg)
+    rng = np.random.default_rng(7)
+    b, window = 2, 16  # sample with half the trained window
+    prompt = jnp.asarray(
+        [_random_stream(rng, window) for _ in range(b)], jnp.int32
+    )
+    meta = jnp.asarray(rng.integers(0, 9, (b, 6)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), prompt[:, :8], meta)
+
+    from musicgen_tpu.sample.sampler import generate
+
+    streams = generate(
+        model, params, "transformer", prompt, meta, 10, window,
+        jax.random.PRNGKey(1), greedy=True,
+    )
+    assert streams.shape == (b, window + 10)
+    new = np.asarray(streams[:, window:])
+    assert (new >= 0).all() and (new < VOCAB.vocab_size).all()
+
+    # First generated token must equal the exact reference-windowed sampler
+    # (identical visible context; later tokens can drift on argmax near-ties
+    # between the cached and re-forward float paths, and once the window
+    # slides the ring keeps full left context by design — sample/cache.py).
+    ref = reference_windowed_generate(
+        model, params, prompt, meta, 1, window, jax.random.PRNGKey(1),
+        greedy=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(streams[:, : window + 1]), np.asarray(ref)
+    )
