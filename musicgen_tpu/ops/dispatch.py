@@ -11,7 +11,13 @@ import jax
 
 
 def resolve_impl(impl: str, cpu_fallback: str = "xla", accel: str = "pallas") -> str:
-    """'auto' -> `accel` unless running on CPU; explicit values unchanged."""
+    """'auto' -> `accel` only on TPU backends; explicit values unchanged.
+
+    The Pallas kernels use pallas.tpu (Mosaic) primitives, so 'auto' must
+    NOT select them on GPU or other non-TPU accelerators — they would fail
+    to lower rather than fall back. The axon tunnel backend is TPU.
+    """
     if impl == "auto":
-        return accel if jax.default_backend() != "cpu" else cpu_fallback
+        backend = jax.default_backend()
+        return accel if backend in ("tpu", "axon") else cpu_fallback
     return impl

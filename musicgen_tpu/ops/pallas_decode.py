@@ -101,6 +101,10 @@ class DecodeDims:
         from ..config import VOCAB
 
         assert cfg.ngroups == 1, "fused decode kernel assumes ngroups=1"
+        # The kernel bakes in the reference's no-residual stack quirk
+        # (models/mamba/mamba.py:32-33): x is OVERWRITTEN per layer, never
+        # added. A residual-enabled config must take the XLA step path.
+        assert not cfg.residual, "fused decode kernel implements residual=False only"
         d_in_proj = 2 * cfg.d_inner + 2 * cfg.d_state + cfg.nheads
         d_in_pad = -(-d_in_proj // 128) * 128
         pv = cfg.padded_vocab

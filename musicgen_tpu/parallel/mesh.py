@@ -48,20 +48,26 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def _param_spec(path: str, leaf: Any, vocab_size: int) -> P:
+def _param_spec(path: str, leaf: Any, vocab_size: int, tp: int) -> P:
     """Vocab-dimension tensor parallelism for the big matrices.
 
     lm_head kernel (d, V) / bias (V,) -> shard V over 'model';
-    embedding tables (V, d) or (meta_V, d) -> shard rows over 'model' only
-    for the token table (meta table is small; keep replicated).
+    token embedding table (V, d) -> shard rows over 'model' (the meta table
+    is small; keep replicated). V may be the raw vocab (17,914) or the
+    MXU-padded one (17,920 — models build their heads at cfg.padded_vocab),
+    and must divide evenly by the 'model' axis for GSPMD to shard it.
     """
     shape = getattr(leaf, "shape", ())
+
+    def vocab_dim(n: int) -> bool:
+        return n >= vocab_size and n % tp == 0
+
     if "lm_head" in path:
-        if len(shape) == 2 and shape[-1] == vocab_size:
+        if len(shape) == 2 and vocab_dim(shape[-1]):
             return P(None, MODEL_AXIS)
-        if len(shape) == 1 and shape[-1] == vocab_size:
+        if len(shape) == 1 and vocab_dim(shape[-1]):
             return P(MODEL_AXIS)
-    if "token_embedding" in path and len(shape) == 2 and shape[0] == vocab_size:
+    if "token_embedding" in path and len(shape) == 2 and vocab_dim(shape[0]):
         return P(MODEL_AXIS, None)
     return P()
 
@@ -70,13 +76,13 @@ def param_shardings(params: Any, mesh: Mesh, vocab_size: int = VOCAB.vocab_size)
     """NamedSharding pytree for a model's params (TP on vocab matrices when
     the 'model' axis is >1, fully replicated otherwise)."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    tp_enabled = mesh.shape[MODEL_AXIS] > 1
+    tp = mesh.shape[MODEL_AXIS]
 
     def spec_for(path_key, leaf):
         path = jax.tree_util.keystr(path_key)
-        if not tp_enabled:
+        if tp <= 1:
             return NamedSharding(mesh, P())
-        return NamedSharding(mesh, _param_spec(path, leaf, vocab_size))
+        return NamedSharding(mesh, _param_spec(path, leaf, vocab_size, tp))
 
     specs = {path_key: spec_for(path_key, leaf) for path_key, leaf in flat}
     return jax.tree_util.tree_map_with_path(

@@ -391,6 +391,12 @@ def sample_tokens_fused_tail(
     same tie-breaking; logits at Pallas-kernel tolerance)."""
     from ..ops.pallas_decode import fused_sample_step
 
+    # The in-kernel tail computes exactly 3 candidates (top-3 argmax
+    # passes); a larger max_topk would silently truncate the candidate set
+    # relative to sample_tokens(mode='combined').
+    assert cfg.max_topk <= 3, (
+        f"fused tail hard-codes top-3; got max_topk={cfg.max_topk}"
+    )
     b, p = prompt.shape
     last0 = prompt[:, -1]
     pen0 = init_penalty_state(prompt, cfg.ring_size, layout)
@@ -563,7 +569,14 @@ def generate(
     The jitted runner is cached on (model, shapes, sampling options), so
     repeated calls — e.g. the CLI's per-composer loop — compile once."""
     if fused is None:
-        fused = kind == "mamba" and jax.default_backend() != "cpu"
+        # Auto-select only configs the kernel implements: the fused kernel
+        # bakes in the reference's no-residual stack (DecodeDims.create
+        # asserts); residual=True configs take the XLA step path.
+        fused = (
+            kind == "mamba"
+            and jax.default_backend() != "cpu"
+            and not getattr(getattr(model, "cfg", None), "residual", False)
+        )
     fused = fused and kind == "mamba"
     run = _make_generate_runner(
         model, kind, int(prompt.shape[0]), num_tokens, block_len,

@@ -17,7 +17,7 @@ from jax.sharding import Mesh
 
 from ..config import TrainValues
 from ..parallel.mesh import batch_sharding, param_shardings, replicated
-from .loss import filtered_cross_entropy
+from .loss import classifier_bce, filtered_cross_entropy
 from .trainer import make_optimizer
 
 
@@ -40,15 +40,27 @@ def make_distributed_train_step(
     optimizer: optax.GradientTransformation,
     mesh: Mesh,
     params_template: Any,
+    kind: str = "lm",
 ):
-    """Jitted SPMD train step with explicit in/out shardings."""
+    """Jitted SPMD train step with explicit in/out shardings.
+
+    kind='lm' — grammar-filtered CE over (src, trg, meta) for the three
+    generators (reference train_parallel.py:143-235 trains every type under
+    DDP; any generator's step runs on any mesh here).
+    kind='classifier' — multi-label BCE; meta is the multi-hot target
+    source, trg is ignored (reference train_classifier.py:84-88).
+    """
     pspec = param_shardings(params_template, mesh)
     bspec = batch_sharding(mesh)
     rspec = replicated(mesh)
 
-    def loss_fn(params, src, trg, meta):
-        logits = model.apply(params, src, meta)
-        return filtered_cross_entropy(src, logits, trg)
+    if kind == "classifier":
+        def loss_fn(params, src, trg, meta):
+            return classifier_bce(model.apply(params, src), meta)
+    else:
+        def loss_fn(params, src, trg, meta):
+            logits = model.apply(params, src, meta)
+            return filtered_cross_entropy(src, logits, trg)
 
     def step(params, opt_state, src, trg, meta):
         loss, grads = jax.value_and_grad(loss_fn)(params, src, trg, meta)
@@ -67,10 +79,16 @@ def make_distributed_train_step(
     )
 
 
-def build_distributed_training(model, params, mesh: Mesh, values: TrainValues = TrainValues()):
+def build_distributed_training(
+    model,
+    params,
+    mesh: Mesh,
+    values: TrainValues = TrainValues(),
+    kind: str = "lm",
+):
     """Convenience: returns (sharded_params, sharded_opt_state, step_fn)."""
     optimizer = make_optimizer(values)
     opt_state = optimizer.init(params)
-    step_fn = make_distributed_train_step(model, optimizer, mesh, params)
+    step_fn = make_distributed_train_step(model, optimizer, mesh, params, kind=kind)
     params, opt_state = shard_train_state(params, opt_state, mesh)
     return params, opt_state, step_fn

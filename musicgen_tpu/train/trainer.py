@@ -103,11 +103,16 @@ def checkpoint_name(loss: float) -> str:
 def save_checkpoint(
     directory: str, state: TrainState, loss: float, keep: int = 3
 ) -> str:
-    """Save params + optimizer state; prune to the newest `keep` checkpoints.
+    """Save params + optimizer state; prune to the newest `keep` checkpoints,
+    always retaining the best-by-loss one.
 
-    The reference keeps every .pth (train.py:69-77) but saves no optimizer
-    state; with Adam moments included each save is ~3x params, so unpruned
-    long runs exhaust disk (keep<=0 disables pruning)."""
+    The reference keeps every .pth (train.py:69-77) precisely so the best
+    run can be picked afterwards, but saves no optimizer state; with Adam
+    moments included each save is ~3x params, so unpruned long runs exhaust
+    disk. Compromise: prune by recency but never evict the lowest-loss
+    checkpoint (parsed from the reference-format name), so a late-run
+    validation regression or an interrupt-save can't destroy the best model
+    (keep<=0 disables pruning)."""
     import shutil
 
     import orbax.checkpoint as ocp
@@ -129,7 +134,17 @@ def save_checkpoint(
             ),
             key=os.path.getmtime,
         )
+
+        def parsed_loss(p: str) -> float:
+            try:
+                return float(os.path.basename(p).split("_")[1])
+            except (IndexError, ValueError):
+                return float("inf")
+
+        best = min(entries, key=parsed_loss) if entries else None
         for old in entries[:-keep]:
+            if old == best:
+                continue
             shutil.rmtree(old, ignore_errors=True)
     return path
 

@@ -15,6 +15,21 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+import subprocess
+from pathlib import Path
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Force-rebuild the native tokenizer from source (make -B) so the suite
+# always exercises the code in native/midi_tokenizer.cc — a stale
+# libmiditok.so on disk would otherwise mask source/binary drift. Build is
+# ~2 s; if the toolchain is absent the native tests skip via available().
+_native = Path(__file__).resolve().parents[1] / "native"
+try:
+    subprocess.run(
+        ["make", "-B", "-C", str(_native)], check=True, capture_output=True
+    )
+except Exception:
+    pass

@@ -247,12 +247,17 @@ def test_full_batches_deterministic_pass(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
-def _single_device_step(model, params, optimizer, src, trg, meta):
+def _single_device_step(model, params, optimizer, src, trg, meta, kind="lm"):
     """Plain unsharded train step: the parity oracle for the SPMD path."""
+    from musicgen_tpu.train.loss import classifier_bce as bce
     from musicgen_tpu.train.loss import filtered_cross_entropy as fce
 
-    def loss_fn(p):
-        return fce(src, model.apply(p, src, meta), trg)
+    if kind == "classifier":
+        def loss_fn(p):
+            return bce(model.apply(p, src), meta)
+    else:
+        def loss_fn(p):
+            return fce(src, model.apply(p, src, meta), trg)
 
     loss, grads = jax.value_and_grad(loss_fn)(params)
     import optax
@@ -262,23 +267,55 @@ def _single_device_step(model, params, optimizer, src, trg, meta):
     return loss, grads, new_params
 
 
-def test_distributed_step_matches_single_device():
+def _tiny_model(kind):
+    """(model, kind, init_fn) at tiny dims, full vocab (TP shards it)."""
+    from musicgen_tpu.config import ClassifierConfig, XLSTMConfig
+    from musicgen_tpu.models.xlstm import XLSTMClassifier, XLSTMLM
+
+    if kind == "mamba":
+        m = MambaLM(MambaConfig(
+            d_model=32, n_layers=2, d_state=8, headdim=8, chunk_size=8,
+            vocab_size=VOCAB.vocab_size, metadata_vocab_size=17,
+        ))
+        return m, lambda src, meta: m.init(jax.random.PRNGKey(0), src, meta)
+    if kind == "transformer":
+        m = TransformerLM(SMALL_T)
+        return m, lambda src, meta: m.init(jax.random.PRNGKey(0), src, meta)
+    if kind == "xlstm":
+        m = XLSTMLM(XLSTMConfig(
+            embedding_dim=32, num_blocks=2, slstm_at=(1,), num_heads=4,
+            context_length=16 + NUM_META, vocab_size=VOCAB.vocab_size,
+            metadata_vocab_size=17,
+        ))
+        return m, lambda src, meta: m.init(jax.random.PRNGKey(0), src, meta)
+    if kind == "classifier":
+        m = XLSTMClassifier(ClassifierConfig(
+            embedding_dim=32, num_blocks=2, slstm_at=(1,), num_heads=4,
+            context_length=16, vocab_size=VOCAB.vocab_size,
+            metadata_vocab_size=17,
+        ))
+        return m, lambda src, meta: m.init(jax.random.PRNGKey(0), src)
+    raise ValueError(kind)
+
+
+@pytest.mark.parametrize("kind", ["mamba", "transformer", "xlstm", "classifier"])
+def test_distributed_step_matches_single_device(kind):
     """A wrong sharding spec must fail CI: the 8-device SPMD step must
     produce the SAME loss and updated params as the plain single-device
-    step on the identical batch (VERDICT round-1 item 7). Covers both the
-    pure-DP mesh and the DPxTP mesh with vocab-sharded lm_head."""
+    step on the identical batch, for EVERY model type the reference trains
+    under DDP (train_parallel.py:143-235, train_classifier.py:38-145).
+    Covers both the pure-DP mesh and the DPxTP mesh with vocab-sharded
+    lm_head/embedding."""
     from musicgen_tpu.train.trainer import make_optimizer as mk_opt
 
-    model = MambaLM(MambaConfig(
-        d_model=32, n_layers=2, d_state=8, headdim=8, chunk_size=8,
-        vocab_size=VOCAB.vocab_size, metadata_vocab_size=17,
-    ))
+    model, init = _tiny_model(kind)
+    loss_kind = "classifier" if kind == "classifier" else "lm"
     rng = np.random.default_rng(1)
     src, trg, meta = _batch(rng, b=8, t=16)
-    params = model.init(jax.random.PRNGKey(0), src, meta)
+    params = init(src, meta)
     optimizer = mk_opt()
     ref_loss, _, ref_params = _single_device_step(
-        model, params, optimizer, src, trg, meta
+        model, params, optimizer, src, trg, meta, kind=loss_kind
     )
 
     for data, tp in ((8, 1), (2, 4)):
@@ -286,18 +323,20 @@ def test_distributed_step_matches_single_device():
         # step_fn donates its inputs; give each mesh its own param copy so
         # donation can't delete buffers shared with `params`/`ref_params`.
         fresh = jax.tree.map(lambda x: jnp.array(np.asarray(x)), params)
-        p, o, step_fn = build_distributed_training(model, fresh, mesh)
+        p, o, step_fn = build_distributed_training(
+            model, fresh, mesh, kind=loss_kind
+        )
         new_p, _, loss = step_fn(p, o, src, trg, meta)
         np.testing.assert_allclose(
             float(loss), float(ref_loss), rtol=1e-5,
-            err_msg=f"mesh {data}x{tp} loss != single-device loss",
+            err_msg=f"{kind} mesh {data}x{tp} loss != single-device loss",
         )
         flat_ref = jax.tree_util.tree_leaves(ref_params)
         flat_new = jax.tree_util.tree_leaves(jax.device_get(new_p))
         for a, b in zip(flat_ref, flat_new):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6,
-                err_msg=f"mesh {data}x{tp} param drift after one step",
+                err_msg=f"{kind} mesh {data}x{tp} param drift after one step",
             )
 
 
