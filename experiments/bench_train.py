@@ -1,4 +1,10 @@
-"""Train-step throughput for all four models, fp32 and bf16 (B2 T2048)."""
+"""Train-step throughput + MFU for all four models (VERDICT round-2 item 4).
+
+Default: the reference fidelity shape (B2 T2048), fp32 and bf16.
+--batch "2,8,16,32": bf16 batch-scaling sweep with an MFU column
+(6*N*B*T matmul-FLOPs estimate over the v5e's 197 TFLOP/s bf16 peak).
+"""
+import argparse
 import sys, time
 sys.path.insert(0, '/root/repo')
 import numpy as np
@@ -8,14 +14,19 @@ from musicgen_tpu.config import NUM_META, DEFAULT_CONFIG
 from musicgen_tpu.models.registry import new_model
 from musicgen_tpu.train import trainer as T
 
-rng = np.random.default_rng(0)
-B, TT = 2, 2048
-tokens = jnp.asarray(rng.integers(0, 17914, (B, TT + 1)), jnp.int32)
-meta = jnp.asarray(rng.integers(0, 568, (B, NUM_META)), jnp.int32)
-src, trg = tokens[:, :-1], tokens[:, 1:]
+TT = 2048
+V5E_BF16_PEAK = 197e12
 
 
-def bench(kind, dtype, reps=6):
+def make_batch(b):
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, 17914, (b, TT + 1)), jnp.int32)
+    meta = jnp.asarray(rng.integers(0, 568, (b, NUM_META)), jnp.int32)
+    return tokens[:, :-1], tokens[:, 1:], meta
+
+
+def bench(kind, dtype, batch, reps=6):
+    src, trg, meta = make_batch(batch)
     model = new_model(kind, DEFAULT_CONFIG, dtype=dtype)
     if kind == "classifier":
         params = model.init(jax.random.PRNGKey(0), src[:, :16])
@@ -27,6 +38,7 @@ def bench(kind, dtype, reps=6):
         opt = T.make_optimizer()
         step = T.make_lm_train_step(model, opt, donate=False)
         args0 = (params, opt.init(params), src, trg, meta, jax.random.PRNGKey(1))
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     out = step(*args0)
     np.asarray(out[-1])
     p, os_ = out[0], out[1]
@@ -37,15 +49,35 @@ def bench(kind, dtype, reps=6):
         p, os_ = out[0], out[1]
     np.asarray(out[-1])
     dt = (time.perf_counter() - t0) / reps
-    name = dtype.__name__ if hasattr(dtype, "__name__") else str(dtype)
-    print(f"{kind:12s} {np.dtype(dtype).name:9s}: {1/dt:6.2f} steps/s ({dt*1e3:.0f} ms)",
-          flush=True)
+    toks = batch * TT
+    flops = 6.0 * n_params * toks  # fwd 2x + bwd 4x matmul FLOPs
+    mfu = flops / dt / V5E_BF16_PEAK
+    print(
+        f"{kind:12s} {np.dtype(dtype).name:9s} B{batch:<3d}: {1/dt:6.2f} steps/s "
+        f"({dt*1e3:6.0f} ms)  {toks/dt/1e3:7.1f}k tok/s  MFU {mfu*100:5.1f}%",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
-    for kind in ("mamba", "xlstm", "transformer", "classifier"):
-        for dtype in (jnp.float32, jnp.bfloat16):
-            try:
-                bench(kind, dtype)
-            except Exception as e:
-                print(f"{kind} {dtype}: FAILED {type(e).__name__}: {e}", flush=True)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", default=None,
+                    help="comma list for a bf16 batch sweep, e.g. 2,8,16,32")
+    ap.add_argument("--models", default="mamba,xlstm,transformer,classifier")
+    args = ap.parse_args()
+
+    kinds = args.models.split(",")
+    if args.batch:
+        for kind in kinds:
+            for b in (int(x) for x in args.batch.split(",")):
+                try:
+                    bench(kind, jnp.bfloat16, b)
+                except Exception as e:
+                    print(f"{kind} B{b}: FAILED {type(e).__name__}: {e}", flush=True)
+    else:
+        for kind in kinds:
+            for dtype in (jnp.float32, jnp.bfloat16):
+                try:
+                    bench(kind, dtype, 2)
+                except Exception as e:
+                    print(f"{kind} {dtype}: FAILED {type(e).__name__}: {e}", flush=True)

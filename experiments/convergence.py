@@ -102,6 +102,10 @@ def main() -> None:
     )
     ap.add_argument("--classifier-epochs", type=int, default=0,
                     help=">0 also trains the composer classifier")
+    ap.add_argument("--augmentation", action="store_true",
+                    help="enable the reference augmentation stack (pitch/"
+                         "velocity shifts, time multiply) as a data "
+                         "multiplier against the overfit wall")
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -117,12 +121,15 @@ def main() -> None:
     for model in args.models:
         ckpt_dir = os.path.join(args.out, "ckpt", model)
         log_path = os.path.join(args.out, f"training_log_{model}.json")
-        run(py + ["musicgen_tpu.cli.train", "--model", model,
+        cmd = py + ["musicgen_tpu.cli.train", "--model", model,
                   "--data", np_dir, "--metadata", meta_path,
                   "--epochs", str(args.epochs),
                   "--block-len", str(args.block_len),
                   "--batch-size", str(args.batch_size),
-                  "--ckpt-dir", ckpt_dir, "--log", log_path])
+                  "--ckpt-dir", ckpt_dir, "--log", log_path]
+        if args.augmentation:
+            cmd.append("--augmentation")
+        run(cmd)
         # newest checkpoint
         ckpts = sorted(
             (os.path.join(ckpt_dir, d) for d in os.listdir(ckpt_dir)),
@@ -136,7 +143,17 @@ def main() -> None:
         with open(log_path) as fh:
             log = json.load(fh)
         steps = [e for e in log if "Loss" in e]
+        # Per-epoch validation curve from the reference-format messages
+        # ("Epoch [i/N], Validation Loss: X") — the generalization signal.
+        val_curve = []
+        for e in log:
+            m = re.search(r"Epoch \[(\d+)/\d+\], Validation Loss: ([\d.]+)",
+                          str(e.get("message", "")))
+            if m:
+                val_curve.append([int(m.group(1)), float(m.group(2))])
         results[model] = {
+            "val_curve": val_curve,
+            "best_val": min((v for _, v in val_curve), default=None),
             "first_loss": steps[0]["Loss"] if steps else None,
             "last_loss": steps[-1]["Loss"] if steps else None,
             "min_loss": min(e["Loss"] for e in steps) if steps else None,

@@ -58,13 +58,16 @@ def main() -> None:
                    help="decode stream[skip:] instead of the last "
                         "length+300 tokens (testing variant decodes [800:])")
     p.add_argument("--fused-decode",
-                   choices=["auto", "on", "off", "int8", "int8w"],
+                   choices=["auto", "on", "off", "int8", "int8w",
+                            "resident", "resident-int8w"],
                    default="auto",
                    help="mamba fused multi-layer Pallas decode kernel "
                         "(auto: on for TPU; bf16-tolerance numerics). "
                         "int8w: weight-only int8, ~1.5x faster decode at "
                         "~2x bf16 logit noise; int8: W8A8, fastest but "
-                        "noisy — see BENCHMARKS.md)")
+                        "noisy. resident[-int8w]: the ENTIRE token loop in "
+                        "one kernel with VMEM-resident state "
+                        "(ops/pallas_generate) — see BENCHMARKS.md)")
     p.add_argument("--reference-windowing", action="store_true",
                    help="exact reference semantics: re-forward the slid "
                         "window per token (O(window)/token; validation only)")
@@ -127,13 +130,16 @@ def main() -> None:
                 # the testing variant's exact truncation semantics)
                 src = src[:, -block_len:]
             fused = {"auto": None, "on": True, "off": False,
-                     "int8": True, "int8w": True}[args.fused_decode]
-            quant = (args.fused_decode
-                     if args.fused_decode in ("int8", "int8w") else "bf16")
+                     "int8": True, "int8w": True,
+                     "resident": True, "resident-int8w": True}[args.fused_decode]
+            quant = {"int8": "int8", "int8w": "int8w",
+                     "resident-int8w": "int8w"}.get(args.fused_decode, "bf16")
+            resident = args.fused_decode.startswith("resident")
             streams = generate(
                 model, params, args.model, src, meta, args.length, block_len,
                 jax.random.PRNGKey(args.seed), greedy=args.greedy,
                 mode=args.sampler, fused=fused, quant=quant,
+                resident=resident,
             )
         streams = np.asarray(streams)
         for i in range(streams.shape[0]):

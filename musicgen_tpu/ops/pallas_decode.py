@@ -135,31 +135,215 @@ def _dot(a, b, contract=((1,), (0,))):
     )
 
 
-def _qdot(x, wq, s_col):
-    """W8A8 matmul: x (M, K) f32, wq (K, N) int8 per-out-column quantized,
-    s_col (1, N) f32 column scales. Dynamic per-row activation quantization
-    feeds the MXU's int8 path; output rescaled to f32.
+def _qdot(x, wq, s):
+    """W8A8 matmul with K-group scales: x (M, K) f32, wq (K, N) int8
+    quantized per (256-row group x output column), s (G, N) f32 group
+    scales. The matmul splits into G partial int8 MXU matmuls; each partial
+    sum is exact under its own scale, so grouping costs nothing at runtime
+    (the kernel is DMA-bound) while cutting quantization error vs the
+    round-2 per-column-only scales. Activations are dynamically quantized
+    per (row x group)."""
+    g_n, n = s.shape
+    k = wq.shape[0]
+    gsz = k // g_n
+    acc = jnp.zeros((x.shape[0], n), jnp.float32)
+    for g in range(g_n):
+        xg = x[:, g * gsz : (g + 1) * gsz]
+        ax = jnp.max(jnp.abs(xg), axis=1, keepdims=True)  # (M, 1)
+        s_x = jnp.maximum(ax, 1e-20) * (1.0 / 127.0)
+        xq = jnp.clip(jnp.round(xg / s_x), -127.0, 127.0).astype(jnp.int8)
+        part = jax.lax.dot_general(
+            xq, wq[g * gsz : (g + 1) * gsz],
+            ((((1,), (0,))), ((), ())), preferred_element_type=jnp.int32,
+        )
+        acc = acc + part.astype(jnp.float32) * s_x * s[g : g + 1, :]
+    return acc
 
-    Used by the quant='int8' decode variant: halves the weight HBM stream
-    (the kernel is DMA-bound, experiments/kernel_ablate.py) at the cost of
-    ~8-bit logit noise."""
-    ax = jnp.max(jnp.abs(x), axis=1, keepdims=True)  # (M, 1)
-    s_x = jnp.maximum(ax, 1e-20) * (1.0 / 127.0)
-    xq = jnp.clip(jnp.round(x / s_x), -127.0, 127.0).astype(jnp.int8)
-    acc = jax.lax.dot_general(
-        xq, wq, ((((1,), (0,))), ((), ())), preferred_element_type=jnp.int32
+
+def _w8dot(x, wq, s):
+    """Weight-only int8 (W8A16) with K-group scales: int8 weights promoted
+    to bf16 on the fly, bf16 activations, fp32 accumulation; the (G, N)
+    group scale multiplies each K-group's partial sum. Same halved HBM
+    stream as W8A8 but no activation-quant noise (experiments/int8_quality.py)."""
+    g_n, n = s.shape
+    k = wq.shape[0]
+    gsz = k // g_n
+    acc = jnp.zeros((x.shape[0], n), jnp.float32)
+    for g in range(g_n):
+        part = _dot(
+            x[:, g * gsz : (g + 1) * gsz].astype(jnp.bfloat16),
+            wq[g * gsz : (g + 1) * gsz].astype(jnp.bfloat16),
+        )
+        acc = acc + part * s[g : g + 1, :]
+    return acc
+
+
+def _mixer_math(
+    x,  # (rows, d_model) f32
+    w_in, w_in_s, w_out, w_out_s,  # weight blocks (+ scales or None)
+    conv_w,  # (4, conv_dim) f32
+    conv_b,  # (1, conv_dim) f32
+    dt_bias,  # (1, 128) f32
+    a_e,  # (1, d_inner) f32
+    d_e,  # (1, d_inner) f32
+    e_mat,  # (nheads, d_inner) f32
+    norm_w,  # (1, d_inner) f32
+    cs,  # (B, 3, conv_dim) f32 conv state
+    s,  # (d_inner, B*N) f32 SSM state
+    dims: DecodeDims,
+    quant: str,
+):
+    """One Mamba-2 mixer layer on a single token (values in, values out).
+
+    Shared by the per-token kernel (_decode_kernel, HBM-aliased states) and
+    the whole-generation kernel (ops/pallas_generate, VMEM-resident states).
+    Returns (x_out (rows, d_model), cs_new (B, 3, conv_dim), s_new)."""
+    B = dims.batch
+    di, dc, dh = dims.d_inner, dims.conv_dim, dims.nheads
+    ds = dims.d_state
+    f32 = jnp.float32
+
+    if quant == "w8a8":
+        zx = _qdot(x, w_in, w_in_s)
+    elif quant == "w8a16":
+        zx = _w8dot(x, w_in, w_in_s)
+    else:
+        zx = _dot(x.astype(jnp.bfloat16), w_in)  # (rows, d_in_pad)
+
+    z = zx[:B, 0:di]  # (B, d_inner)
+    xbc_new = zx[:B, di : di + dc]  # (B, conv_dim) raw conv input
+    dt_raw = zx[:B, di + dc : di + dc + dh]  # (B, nheads)
+
+    # Depthwise causal conv, 4-tap window (ops/ssm.causal_conv1d_step
+    # semantics: state rows oldest->newest, tap K-1 hits the newest).
+    y_conv = (
+        cs[:, 0, :] * conv_w[0][None, :]
+        + cs[:, 1, :] * conv_w[1][None, :]
+        + cs[:, 2, :] * conv_w[2][None, :]
+        + xbc_new * conv_w[3][None, :]
+        + conv_b
+    )  # (B, conv_dim)
+    cs_new = jnp.stack([cs[:, 1, :], cs[:, 2, :], xbc_new], axis=1)
+
+    xbc = y_conv * jax.nn.sigmoid(y_conv)  # silu
+    x_ssd = xbc[:, :di]  # (B, d_inner), lanes = h*P+p
+    b_vec = xbc[:, di : di + ds]  # (B, N)
+    c_vec = xbc[:, di + ds : di + 2 * ds]  # (B, N)
+
+    dt = jax.nn.softplus(dt_raw + dt_bias[0, :dh][None, :])  # (B, H)
+    dt_e = _dot(dt, e_mat)  # (B, d_inner) per-channel dt
+    decay_e = jnp.exp(dt_e * a_e)  # (B, d_inner)
+    dtx = x_ssd * dt_e  # (B, d_inner)
+
+    # Block-diagonal B/C: lane-tile (B, N) -> (B, B*N), mask off-blocks.
+    b_of_col = jax.lax.broadcasted_iota(jnp.int32, (B, B * ds), 1) // ds
+    b_row = jax.lax.broadcasted_iota(jnp.int32, (B, B * ds), 0)
+    eb = (b_of_col == b_row).astype(f32)  # (B, B*N)
+    b_diag = jnp.concatenate([b_vec] * B, axis=1) * eb
+    c_diag = jnp.concatenate([c_vec] * B, axis=1) * eb
+
+    # Contract over the batch dim; block-diagonality keeps batches apart.
+    decay2d = _dot(decay_e, eb, contract=((0,), (0,)))  # (d_inner, B*N)
+    upd = _dot(dtx, b_diag, contract=((0,), (0,)))  # (d_inner, B*N)
+
+    s_new = s * decay2d + upd
+
+    y_t = _dot(s_new, c_diag, contract=((1,), (1,)))  # (d_inner, B)
+    eye_b = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+    ).astype(f32)
+    y = _dot(eye_b, y_t, contract=((1,), (1,)))  # (B, d_inner)
+    y = y + x_ssd * d_e  # D residual
+
+    # Gated RMSNorm (models/mamba._rms_norm_gated semantics).
+    g = y * (z * jax.nn.sigmoid(z))
+    var = jnp.mean(g * g, axis=-1, keepdims=True)
+    g = g * jax.lax.rsqrt(var + 1e-5) * norm_w
+
+    if dims.rows == B:
+        g_rows = g
+    else:
+        g_rows = jnp.concatenate(
+            [g, jnp.zeros((dims.rows - B, di), f32)], axis=0
+        )  # (rows, d_inner); zero pad rows keep x pad rows zero
+    if quant == "w8a8":
+        x_out = _qdot(g_rows, w_out, w_out_s)
+    elif quant == "w8a16":
+        x_out = _w8dot(g_rows, w_out, w_out_s)
+    else:
+        x_out = _dot(g_rows.astype(jnp.bfloat16), w_out)
+    return x_out, cs_new, s_new
+
+
+def _head_math(x, ln, lm_w, lm_s, quant):
+    """Final LayerNorm (recomputed per chunk — trivially cheap) + lm_head
+    N-chunk. Returns chunk logits (rows, head_chunk), pre-bias."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean
+    h = (x - mean) * jax.lax.rsqrt(var + 1e-6)
+    h = h * ln[0][None, :] + ln[1][None, :]
+    if quant == "w8a8":
+        return _qdot(h, lm_w, lm_s)
+    elif quant == "w8a16":
+        return _w8dot(h, lm_w, lm_s)
+    return _dot(h.astype(jnp.bfloat16), lm_w)
+
+
+def _tail_math(x, gram, hist, bucket_oh, dims: DecodeDims):
+    """Grammar-filtered, penalty-divided sampling weights + exact top-3 —
+    the XLA sampler tail (sample/sampler.py steps 1-2 and the top-k of step
+    4). Semantics match ops/grammar.filtered_logits + penalty_divisor +
+    _iter_top_k (ties -> lowest index).
+
+    x: (rows, Vp) logits incl. bias; gram: (8, Vp) zero-row-padded grammar
+    table; hist: (rows, Vp) f32 window counts; bucket_oh: (rows, 8) one-hot
+    of the prev token's field. Returns (vals, idx) (rows, 128), top-3 in
+    lanes 0-2."""
+    f32 = jnp.float32
+    vp = dims.padded_vocab
+    ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    real = ids < dims.vocab_size
+    xm = jnp.where(real, x, -1e30)  # pad lanes out of the softmax
+    m = jnp.max(xm, axis=-1, keepdims=True)
+    lse = jnp.log(jnp.sum(jnp.exp(xm - m), axis=-1, keepdims=True)) + m
+    # Grammar row per batch row, selected by the prev-token field bucket:
+    # an (8,8)x(8,Vp) MXU matmul against the (zero-row-padded) grammar
+    # table gathers the rows.
+    mask = jax.lax.dot_general(
+        bucket_oh, gram, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (rows, Vp)
+    w = (lse - xm) * mask
+    w = jnp.where(real & (mask > 0.0), w, 0.0)
+
+    log_base = jnp.where(
+        ids < dims.dyn_start,
+        jnp.float32(0.00995033085316808),  # ln 1.01
+        jnp.where(
+            ids < dims.length_start,
+            jnp.float32(0.019802627296179712),  # ln 1.02
+            0.0,
+        ),
     )
-    return acc.astype(jnp.float32) * s_x * s_col
+    pen = jnp.minimum(jnp.exp(hist * log_base), 1.2)
+    w = w / pen
 
-
-def _w8dot(x, wq, s_col):
-    """Weight-only int8 (W8A16): int8 weights dequantized to bf16 on the fly,
-    bf16 activations, fp32 accumulation, per-column scale folded into the
-    output. Same halved HBM stream as W8A8 but no activation-quant noise —
-    on trained weights the logit error is ~2x bf16's instead of ~10x
-    (experiments/int8_quality.py)."""
-    acc = _dot(x.astype(jnp.bfloat16), wq.astype(jnp.bfloat16))
-    return acc * s_col
+    lane = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 128), 1)
+    out_vals = jnp.zeros((x.shape[0], 128), f32)
+    out_idx = jnp.zeros((x.shape[0], 128), jnp.int32)
+    for k in range(3):
+        mk = jnp.max(w, axis=-1, keepdims=True)
+        cand = jnp.where(w == mk, ids, vp)
+        ik = jnp.min(cand, axis=-1, keepdims=True)
+        out_vals = jnp.where(
+            lane == k, jnp.broadcast_to(mk, out_vals.shape), out_vals
+        )
+        out_idx = jnp.where(
+            lane == k, jnp.broadcast_to(ik, out_idx.shape), out_idx
+        )
+        w = jnp.where(ids == ik, -1e30, w)
+    return out_vals, out_idx
 
 
 def _decode_kernel(
@@ -210,101 +394,39 @@ def _decode_kernel(
 
     @pl.when(i < L)
     def _mixer():
-        x = x_scr[:, :]  # (_ROWS, d_model) f32
-
-        if quant == "w8a8":
-            zx = _qdot(x, w_in_ref[0], w_in_s_ref[0, 0][None, :])
-        elif quant == "w8a16":
-            zx = _w8dot(x, w_in_ref[0], w_in_s_ref[0, 0][None, :])
-        else:
-            zx = _dot(x.astype(jnp.bfloat16), w_in_ref[0])  # (_ROWS, d_in_pad)
-
-        z = zx[:B, 0:di]  # (B, d_inner)
-        xbc_new = zx[:B, di : di + dc]  # (B, conv_dim) raw conv input
-        dt_raw = zx[:B, di + dc : di + dc + dh]  # (B, nheads)
-
-        # Depthwise causal conv, 4-tap window (ops/ssm.causal_conv1d_step
-        # semantics: state rows oldest->newest, tap K-1 hits the newest).
-        cw = conv_w_ref[0]  # (4, conv_dim)
-        cs = conv_state_ref[0]  # (B, 3, conv_dim)
-        y_conv = (
-            cs[:, 0, :] * cw[0][None, :]
-            + cs[:, 1, :] * cw[1][None, :]
-            + cs[:, 2, :] * cw[2][None, :]
-            + xbc_new * cw[3][None, :]
-            + conv_b_ref[0]
-        )  # (B, conv_dim)
-        conv_state_out_ref[0, :, 0, :] = cs[:, 1, :]
-        conv_state_out_ref[0, :, 1, :] = cs[:, 2, :]
-        conv_state_out_ref[0, :, 2, :] = xbc_new
-
-        xbc = y_conv * jax.nn.sigmoid(y_conv)  # silu
-        x_ssd = xbc[:, :di]  # (B, d_inner), lanes = h*P+p
-        b_vec = xbc[:, di : di + ds]  # (B, N)
-        c_vec = xbc[:, di + ds : di + 2 * ds]  # (B, N)
-
-        dt = jax.nn.softplus(dt_raw + dt_bias_ref[0, 0, :dh][None, :])  # (B, H)
-        dt_e = _dot(dt, e_ref[:, :])  # (B, d_inner) per-channel dt
-        decay_e = jnp.exp(dt_e * a_e_ref[0])  # (B, d_inner)
-        dtx = x_ssd * dt_e  # (B, d_inner)
-
-        # Block-diagonal B/C: lane-tile (B, N) -> (B, B*N), mask off-blocks.
-        b_of_col = jax.lax.broadcasted_iota(jnp.int32, (B, B * ds), 1) // ds
-        b_row = jax.lax.broadcasted_iota(jnp.int32, (B, B * ds), 0)
-        eb = (b_of_col == b_row).astype(f32)  # (B, B*N)
-        b_diag = jnp.concatenate([b_vec] * B, axis=1) * eb
-        c_diag = jnp.concatenate([c_vec] * B, axis=1) * eb
-
-        # Contract over the batch dim; block-diagonality keeps batches apart.
-        decay2d = _dot(decay_e, eb, contract=((0,), (0,)))  # (d_inner, B*N)
-        upd = _dot(dtx, b_diag, contract=((0,), (0,)))  # (d_inner, B*N)
-
-        s = ssm_state_ref[0]  # (d_inner, B*N)
-        s_new = s * decay2d + upd
+        x_out, cs_new, s_new = _mixer_math(
+            x_scr[:, :],
+            w_in_ref[0],
+            w_in_s_ref[0] if quant != "none" else None,
+            w_out_ref[0],
+            w_out_s_ref[0] if quant != "none" else None,
+            conv_w_ref[0],
+            conv_b_ref[0],
+            dt_bias_ref[0],
+            a_e_ref[0],
+            d_e_ref[0],
+            e_ref[:, :],
+            norm_w_ref[0],
+            conv_state_ref[0],
+            ssm_state_ref[0],
+            dims,
+            quant,
+        )
+        conv_state_out_ref[0] = cs_new
         ssm_state_out_ref[0] = s_new
-
-        y_t = _dot(s_new, c_diag, contract=((1,), (1,)))  # (d_inner, B)
-        eye_b = (
-            jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
-            == jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
-        ).astype(f32)
-        y = _dot(eye_b, y_t, contract=((1,), (1,)))  # (B, d_inner)
-        y = y + x_ssd * d_e_ref[0]  # D residual
-
-        # Gated RMSNorm (models/mamba._rms_norm_gated semantics).
-        g = y * (z * jax.nn.sigmoid(z))
-        var = jnp.mean(g * g, axis=-1, keepdims=True)
-        g = g * jax.lax.rsqrt(var + 1e-5) * norm_w_ref[0, 0][None, :]
-
-        if dims.rows == B:
-            g_rows = g
-        else:
-            g_rows = jnp.concatenate(
-                [g, jnp.zeros((dims.rows - B, di), f32)], axis=0
-            )  # (rows, d_inner); zero pad rows keep x_scr pad rows zero
-        if quant == "w8a8":
-            x_scr[:, :] = _qdot(g_rows, w_out_ref[0], w_out_s_ref[0, 0][None, :])
-        elif quant == "w8a16":
-            x_scr[:, :] = _w8dot(g_rows, w_out_ref[0], w_out_s_ref[0, 0][None, :])
-        else:
-            x_scr[:, :] = _dot(g_rows.astype(jnp.bfloat16), w_out_ref[0])
+        x_scr[:, :] = x_out
 
     n_head_end = L + _HEAD_CHUNKS
 
     @pl.when(jnp.logical_and(i >= L, i < n_head_end))
     def _head():
-        # Final LayerNorm (recomputed per chunk — trivially cheap) + lm_head.
-        x = x_scr[:, :]  # (_ROWS, d_model)
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean
-        h = (x - mean) * jax.lax.rsqrt(var + 1e-6)
-        h = h * ln_ref[0][None, :] + ln_ref[1][None, :]
-        if quant == "w8a8":
-            chunk_logits = _qdot(h, lm_w_ref[:, :], lm_s_ref[:, :])
-        elif quant == "w8a16":
-            chunk_logits = _w8dot(h, lm_w_ref[:, :], lm_s_ref[:, :])
-        else:
-            chunk_logits = _dot(h.astype(jnp.bfloat16), lm_w_ref[:, :])
+        chunk_logits = _head_math(
+            x_scr[:, :],
+            ln_ref[:, :],
+            lm_w_ref[:, :],
+            lm_s_ref[:, :] if quant != "none" else None,
+            quant,
+        )
         if tail:
             chunk_logits = chunk_logits + lm_b_ref[:, :]
             c0 = (i - L) * dims.head_chunk
@@ -316,57 +438,16 @@ def _decode_kernel(
 
         @pl.when(i == n_head_end)
         def _tail():
-            # Grammar-filtered, penalty-divided sampling weights + exact
-            # top-3 — the XLA sampler tail (sample/sampler.py steps 1-2 and
-            # the top-k of step 4) collapsed into the decode kernel.
-            # Semantics match ops/grammar.filtered_logits + penalty_divisor
-            # + _iter_top_k (ties -> lowest index).
+            # The wrapper packs the prev-field bucket one-hot into hist's 8
+            # trailing pad lanes [vp, vp+8) — see fused_sample_step.
             vp = dims.padded_vocab
-            x = logit_scr[:, :]  # (_ROWS, Vp)
-            ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-            real = ids < dims.vocab_size
-            xm = jnp.where(real, x, -1e30)  # pad lanes out of the softmax
-            m = jnp.max(xm, axis=-1, keepdims=True)
-            lse = jnp.log(jnp.sum(jnp.exp(xm - m), axis=-1, keepdims=True)) + m
-            # Grammar row per batch row, selected by the prev-token field
-            # bucket: the wrapper packs the bucket one-hot into hist's 8
-            # trailing pad lanes [vp, vp+8); an (8,8)x(8,Vp) MXU matmul
-            # against the (zero-row-padded) grammar table gathers the rows.
-            onehot = hist_ref[:, vp : vp + 8]  # (_ROWS, 8)
-            mask = jax.lax.dot_general(
-                onehot, gram_ref[:, :], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (_ROWS, Vp)
-            w = (lse - xm) * mask
-            w = jnp.where(real & (mask > 0.0), w, 0.0)
-
-            hist = hist_ref[:, :vp]
-            log_base = jnp.where(
-                ids < dims.dyn_start,
-                jnp.float32(0.00995033085316808),  # ln 1.01
-                jnp.where(
-                    ids < dims.length_start,
-                    jnp.float32(0.019802627296179712),  # ln 1.02
-                    0.0,
-                ),
+            out_vals, out_idx = _tail_math(
+                logit_scr[:, :],
+                gram_ref[:, :],
+                hist_ref[:, :vp],
+                hist_ref[:, vp : vp + 8],
+                dims,
             )
-            pen = jnp.minimum(jnp.exp(hist * log_base), 1.2)
-            w = w / pen
-
-            lane = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 128), 1)
-            out_vals = jnp.zeros((x.shape[0], 128), f32)
-            out_idx = jnp.zeros((x.shape[0], 128), jnp.int32)
-            for k in range(3):
-                mk = jnp.max(w, axis=-1, keepdims=True)
-                cand = jnp.where(w == mk, ids, vp)
-                ik = jnp.min(cand, axis=-1, keepdims=True)
-                out_vals = jnp.where(
-                    lane == k, jnp.broadcast_to(mk, out_vals.shape), out_vals
-                )
-                out_idx = jnp.where(
-                    lane == k, jnp.broadcast_to(ik, out_idx.shape), out_idx
-                )
-                w = jnp.where(ids == ik, -1e30, w)
             vals_ref[:, :] = out_vals
             idx_ref[:, :] = out_idx
 
@@ -394,7 +475,8 @@ def fused_decode_step(
     dims: DecodeDims,
     interpret: bool = False,
     scales: Tuple[jax.Array, jax.Array, jax.Array] | None = None,
-    # scales = (w_in_s (L,1,d_in_pad), w_out_s (L,1,d_model), lm_s (1,Vp)):
+    # scales = (w_in_s (L, G_in, d_in_pad), w_out_s (L, G_out, d_model),
+    # lm_s (G_lm, Vp)) — K-group x output-column int8 scales (G = K/256):
     # presence selects an int8 variant (weights must then be int8);
     # quant_mode picks 'w8a8' (activations quantized too, MXU int8 path) or
     # 'w8a16' (weights dequantized to bf16 in-kernel).
@@ -442,10 +524,11 @@ def fused_decode_step(
         norm_w, ln, lm_w, conv_state, ssm_state,
     ]
     if quant != "none":
+        g_in, g_out, g_lm = (s.shape[-2] for s in scales)
         in_specs += [
-            pl.BlockSpec((1, 1, dims.d_in_pad), lambda i: (lc(i), 0, 0)),
-            pl.BlockSpec((1, 1, dims.d_model), lambda i: (lc(i), 0, 0)),
-            pl.BlockSpec((1, dims.head_chunk), lambda i: (0, hc(i))),
+            pl.BlockSpec((1, g_in, dims.d_in_pad), lambda i: (lc(i), 0, 0)),
+            pl.BlockSpec((1, g_out, dims.d_model), lambda i: (lc(i), 0, 0)),
+            pl.BlockSpec((g_lm, dims.head_chunk), lambda i: (0, hc(i))),
         ]
         operands += list(scales)
     if tail:
@@ -517,12 +600,26 @@ def fused_decode_step(
 # ---------------------------------------------------------------------------
 
 
-def _quantize_cols(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Per-output-column symmetric int8: returns (q (K,N) int8, s (1,N) f32)."""
-    s = jnp.max(jnp.abs(w), axis=0, keepdims=True) / 127.0  # (1, N)
+QUANT_GROUP = 256  # int8 K-group size (rows per scale group)
+
+
+def _quantize_cols(w: jax.Array, group: int = QUANT_GROUP) -> Tuple[jax.Array, jax.Array]:
+    """K-grouped per-output-column symmetric int8.
+
+    Returns (q (K, N) int8, s (G, N) f32) with G = K/group: each scale
+    covers a (group x 1) tile. Round 2 used a single scale per column
+    (9.6% mean rel logit error, BENCHMARKS.md); row-grouping at 256 adds
+    only (G, N) f32 of stream and cuts the error roughly in half because a
+    single outlier row no longer dilates the whole column's step size."""
+    k = w.shape[0]
+    if k % group:
+        group = k  # degenerate: one group (tiny matrices)
+    g = k // group
+    wg = w.reshape(g, group, -1)
+    s = jnp.max(jnp.abs(wg), axis=1) / 127.0  # (G, N)
     s = jnp.maximum(s, 1e-20)
-    q = jnp.clip(jnp.round(w / s), -127.0, 127.0).astype(jnp.int8)
-    return q, s.astype(jnp.float32)
+    q = jnp.clip(jnp.round(wg / s[:, None, :]), -127.0, 127.0)
+    return q.astype(jnp.int8).reshape(w.shape), s.astype(jnp.float32)
 
 
 def build_decode_params(
@@ -536,9 +633,10 @@ def build_decode_params(
     bias used outside the kernel.
 
     quant='bf16' (default) streams bf16 weights; 'int8' (W8A8) and 'int8w'
-    (W8A16, weight-only) store in_proj/out_proj/lm_head per-output-column
-    int8 + scales, halving the DMA-bound kernel's HBM traffic. The int8
-    pack is identical for both modes — execution differs in-kernel.
+    (W8A16, weight-only) store in_proj/out_proj/lm_head int8 with
+    (256-row-group x output-column) scales, halving the DMA-bound kernel's
+    HBM traffic. The int8 pack is identical for both modes — execution
+    differs in-kernel.
     """
     assert quant in ("bf16", "int8", "int8w"), quant
     quant = "int8" if quant in ("int8", "int8w") else "bf16"

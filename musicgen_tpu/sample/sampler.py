@@ -557,6 +557,7 @@ def generate(
     mode: str = "combined",
     fused: bool | None = None,
     quant: str = "bf16",
+    resident: bool = False,
 ) -> jax.Array:
     """End-to-end conditioned generation (reference scripts/generate.py
     `generate` equivalent). Returns (B, P + num_tokens) full streams.
@@ -565,6 +566,12 @@ def generate(
     (ops/pallas_decode) for Mamba on accelerators (with the sampler tail
     fused in-kernel for mode='combined'); quant='int8' additionally selects
     the W8A8 weight-quantized variant (~2x decode, ~8-bit logit noise).
+    resident=True (mamba, mode='combined') runs the ENTIRE token loop in
+    one pallas_call with all recurrent + sampler state VMEM-resident
+    (ops/pallas_generate): per-token HBM traffic is the weight stream only.
+    Greedy streams are identical to the fused-tail path; stochastic picks
+    use CDF inversion on streamed uniforms (same distributions, different
+    stream than jax.random.categorical).
 
     The jitted runner is cached on (model, shapes, sampling options), so
     repeated calls — e.g. the CLI's per-composer loop — compile once."""
@@ -578,16 +585,20 @@ def generate(
             and not getattr(getattr(model, "cfg", None), "residual", False)
         )
     fused = fused and kind == "mamba"
+    resident = resident and kind == "mamba" and mode == "combined"
+    if resident:
+        fused = True
     run = _make_generate_runner(
         model, kind, int(prompt.shape[0]), num_tokens, block_len,
-        greedy, mode, fused, quant, jit,
+        greedy, mode, fused, quant, jit, resident,
     )
     return run(params, prompt, meta, rng)
 
 
 @functools.lru_cache(maxsize=64)
 def _make_generate_runner(
-    model, kind, batch, num_tokens, block_len, greedy, mode, fused, quant, jit
+    model, kind, batch, num_tokens, block_len, greedy, mode, fused, quant,
+    jit, resident=False,
 ):
     """Build (and cache) the jitted end-to-end generation function.
 
@@ -616,6 +627,15 @@ def _make_generate_runner(
             step_params = build_decode_params(
                 params, model_cfg, prompt.shape[0], quant=quant
             )
+            if resident:
+                from ..ops.pallas_generate import generate_resident
+
+                dims = DecodeDims.create(model_cfg, prompt.shape[0])
+                return generate_resident(
+                    step_params, init_logits, state, prompt, num_tokens,
+                    model_cfg, dims, rng, greedy=greedy, interpret=interp,
+                    quant=quant, ring=cfg.ring_size,
+                )
             if fused_tail:
                 dims = DecodeDims.create(model_cfg, prompt.shape[0])
                 toks = sample_tokens_fused_tail(
@@ -647,30 +667,58 @@ def reference_windowed_generate(
     token-for-token the reference's semantics (scripts/generate.py:26-89;
     mode='many' -> generate_midi_many.py:13-56; 'top5' ->
     generate_midi.py:34-62) including window truncation. O(window) per
-    token — use for parity checks, not production."""
-    stream = prompt
+    token — use for parity checks, not production.
+
+    Single compiled shape (VERDICT round-2 item 6): the window lives in a
+    fixed (B, block_len) RIGHT-padded buffer — causal models cannot see
+    positions >= n, so the logits at column n-1 equal the short-window
+    forward — and the whole token loop is one `lax.scan`. Large windowed
+    sweeps compile once instead of once per window length."""
+    b, p = prompt.shape
     if mode == "many":
-        pen = init_count_window(prompt, layout)
+        pen0 = init_count_window(prompt, layout)
     else:
-        pen = init_penalty_state(prompt, max(block_len, 2048), layout)
-    p = prompt.shape[1]
-    for j in range(num_tokens):
-        window = stream[:, -block_len:]
-        logits = model.apply(params, window, meta)[:, -1, :]
-        last = stream[:, -1]
+        pen0 = init_penalty_state(prompt, max(block_len, 2048), layout)
+
+    if p >= block_len:
+        buf0 = prompt[:, -block_len:]
+        n0 = jnp.int32(block_len)
+    else:
+        buf0 = jnp.pad(prompt, ((0, 0), (0, block_len - p)))
+        n0 = jnp.int32(p)
+
+    def step(carry, key):
+        buf, n, last, pen = carry
+        logits_all = model.apply(params, buf, meta)  # (B, block_len, V)
+        logits = jnp.take_along_axis(
+            logits_all, jnp.full((b, 1, 1), n - 1), axis=1
+        )[:, 0, :]
         w = filtered_logits(last, logits, layout)
-        rng, k_key, pick_key = jax.random.split(rng, 3)
+        k_key, pick_key = jax.random.split(key)
         if mode == "many":
             w = w / count_penalty_divisor(pen.hist, layout)
             next_tok = jnp.argmax(w, axis=-1).astype(jnp.int32)
             pen = push_count_window(pen, next_tok)
         elif mode == "top5":
-            k = jnp.full((prompt.shape[0],), 5, jnp.int32)
+            k = jnp.full((b,), 5, jnp.int32)
             next_tok = _pick_next(w, k, pick_key, 5, greedy)
         else:
             w = w / penalty_divisor(pen.hist, layout)
             k = _sample_k(last, k_key, layout)
             next_tok = _pick_next(w, k, pick_key, 3, greedy)
             pen = push_token(pen, next_tok, layout)
-        stream = jnp.concatenate([stream, next_tok[:, None]], axis=1)
-    return stream
+        # Append into the fixed buffer: write at column n while filling,
+        # slide-left-by-one and write the last column once full.
+        full = n >= block_len
+        slid = jnp.concatenate([buf[:, 1:], next_tok[:, None]], axis=1)
+        grown = jax.vmap(
+            lambda row, t: jax.lax.dynamic_update_slice(row, t[None], (n,))
+        )(buf, next_tok)
+        buf = jnp.where(full, slid, grown)
+        n = jnp.minimum(n + 1, block_len)
+        return (buf, n, next_tok, pen), next_tok
+
+    keys = jax.random.split(rng, num_tokens)
+    last0 = prompt[:, -1]
+    (_, _, _, _), toks = jax.lax.scan(step, (buf0, n0, last0, pen0), keys)
+    return jnp.concatenate([prompt, toks.transpose(1, 0)], axis=1)
