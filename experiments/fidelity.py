@@ -1,0 +1,108 @@
+"""Classifier-fidelity loop with statistically meaningful n (VERDICT r2 §2).
+
+The reference protocol (scripts/test_classifier.ipynb): generate
+composer-conditioned samples, run the trained composer classifier over the
+generated corpus, report per-band success rates. Round 2 ran it with a
+handful of files per band (rates quantized to 0/0.5/1.0); this driver
+generates >= --per-band samples per band so the rates carry information.
+
+Usage (after experiments/convergence.py has produced checkpoints):
+
+  python experiments/fidelity.py --out experiments/out_r3 \
+      --model mamba --per-band 20 [--length 2000]
+
+Stages (all through the real CLIs, like convergence.py):
+  1. cli.generate per band, batch 2, fresh seed per call, until n >= per-band
+  2. cli.preprocess the generated MIDI corpus
+  3. cli.evaluate classifier on the generated corpus -> per-band rates + n
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+
+def run(cmd):
+    print("+", " ".join(cmd), flush=True)
+    subprocess.run(cmd, check=True)
+
+
+def newest_ckpt(ckpt_dir: str) -> str:
+    ckpts = sorted(
+        (os.path.join(ckpt_dir, d) for d in os.listdir(ckpt_dir)),
+        key=os.path.getmtime,
+    )
+    return ckpts[-1]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="experiments/out_r3")
+    ap.add_argument("--model", default="mamba")
+    ap.add_argument("--per-band", type=int, default=20)
+    ap.add_argument("--length", type=int, default=2000)
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--fused-decode", default="auto")
+    args = ap.parse_args()
+
+    np_dir = os.path.join(args.out, "np")
+    meta = os.path.join(args.out, "metadata.json")
+    gen_ckpt = newest_ckpt(os.path.join(args.out, "ckpt", args.model))
+    clf_ckpt = newest_ckpt(os.path.join(args.out, "ckpt", "classifier"))
+    bands = sorted(
+        d for d in os.listdir(np_dir) if os.path.isdir(os.path.join(np_dir, d))
+    )
+    print(f"bands: {bands}; generator {gen_ckpt}; classifier {clf_ckpt}",
+          flush=True)
+
+    gen_root = os.path.join(args.out, f"fidelity_midi_{args.model}")
+    shutil.rmtree(gen_root, ignore_errors=True)
+    py = [sys.executable, "-m"]
+    seed = 100
+    # One generate call covers every band (per-composer loop inside the CLI
+    # reuses the compiled runner), batch samples per band per call.
+    calls = (args.per_band + args.batch - 1) // args.batch
+    for c in range(calls):
+        run(py + ["musicgen_tpu.cli.generate", "--model", args.model,
+                  "--ckpt", gen_ckpt, "--data", np_dir, "--metadata", meta,
+                  "--length", str(args.length), "--batch", str(args.batch),
+                  "--composers", ", ".join(bands),
+                  "--output", os.path.join(gen_root, f"call{c}"),
+                  "--fused-decode", args.fused_decode,
+                  "--seed", str(seed + c)])
+
+    # Collate into band-dir layout for preprocess (band dirs under one root).
+    corpus = os.path.join(args.out, f"fidelity_corpus_{args.model}", "data")
+    shutil.rmtree(os.path.dirname(corpus), ignore_errors=True)
+    counts = {}
+    for band in bands:
+        bdir = os.path.join(corpus, band)
+        os.makedirs(bdir)
+        i = 0
+        for f in sorted(glob.glob(os.path.join(gen_root, "*", "*", band, "*.mid"))):
+            shutil.copyfile(f, os.path.join(bdir, f"gen_{i:03d}.mid"))
+            i += 1
+        counts[band] = i
+    print("generated per band:", counts, flush=True)
+
+    gen_np = os.path.join(args.out, f"fidelity_np_{args.model}")
+    run(py + ["musicgen_tpu.cli.preprocess", "--midi",
+              os.path.dirname(corpus), "--out", gen_np, "--min-notes", "10"])
+
+    out_json = os.path.join(args.out, f"fidelity_{args.model}.json")
+    run(py + ["musicgen_tpu.cli.evaluate", "classifier", "--ckpt", clf_ckpt,
+              "--data", gen_np, "--metadata", meta, "--out", out_json])
+    res = json.load(open(out_json))
+    res["n_per_band"] = counts
+    res["generator"] = args.model
+    json.dump(res, open(out_json, "w"), indent=2)
+    print("FIDELITY", json.dumps(res, indent=2), flush=True)
+
+
+if __name__ == "__main__":
+    main()

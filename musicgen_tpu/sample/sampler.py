@@ -381,15 +381,25 @@ def sample_tokens_fused_tail(
     layout: VocabLayout = VOCAB,
     interpret: bool = False,
     quant: str = "bf16",
+    fused_step=None,
 ) -> jax.Array:
     """'combined'-mode sampling with the grammar/penalty/top-3 tail fused
-    INTO the decode kernel (ops/pallas_decode fused_sample_step): the
+    INTO the decode kernel (ops/pallas_decode fused_sample_step, or
+    `fused_step` for other model families — ops/pallas_xlstm_decode): the
     (B, 17914) logits never leave VMEM. XLA keeps only the O(3) categorical
     pick, the k-choice, and the penalty-window bookkeeping.
 
     Matches `sample_tokens(mode='combined')` semantics (same RNG stream,
     same tie-breaking; logits at Pallas-kernel tolerance)."""
-    from ..ops.pallas_decode import fused_sample_step
+    if fused_step is None:
+        from ..ops.pallas_decode import fused_sample_step
+
+        def fused_step(pack, token, state, hist, bucket_oh):
+            return fused_sample_step(
+                pack, token, state, hist, bucket_oh, model_cfg, dims,
+                interpret=interpret,
+                quant_mode="w8a16" if quant == "int8w" else "w8a8",
+            )
 
     # The in-kernel tail computes exactly 3 candidates (top-3 argmax
     # passes); a larger max_topk would silently truncate the candidate set
@@ -412,10 +422,8 @@ def sample_tokens_fused_tail(
         next_tok = _pick_from_topk(vals, idxs, k, pick_key, cfg.greedy)
         pen = push_token(pen, next_tok, layout)
         bucket_oh = jax.nn.one_hot(field_bucket(next_tok, layout), 8)
-        vals, idxs, model_state = fused_sample_step(
-            dp, next_tok, model_state, pen.hist, bucket_oh,
-            model_cfg, dims, interpret=interpret,
-            quant_mode="w8a16" if quant == "int8w" else "w8a8",
+        vals, idxs, model_state = fused_step(
+            dp, next_tok, model_state, pen.hist, bucket_oh
         )
         return (
             (vals, idxs, model_state, pen, next_tok, stream_idx + 1),
@@ -531,6 +539,29 @@ def make_sampler(
     if kind == "xlstm":
         from ..models.xlstm import XLSTMLM
 
+        if fused_decode:
+            assert cfg is not None and batch is not None
+            from ..ops.pallas_xlstm_decode import (
+                XDims,
+                fused_xlstm_logits_step,
+                stack_xlstm_states,
+            )
+
+            xdims = XDims.create(cfg, batch)
+
+            def prefill(params, tokens, meta):
+                logits, states = model.apply(
+                    params, tokens, meta, method=XLSTMLM.prefill
+                )
+                return logits[:, -1, :], stack_xlstm_states(states, cfg, batch)
+
+            def step(wp, token, carry, stream_idx):
+                return fused_xlstm_logits_step(
+                    wp, token, carry, cfg, xdims, interpret=interpret
+                )
+
+            return prefill, step
+
         def prefill(params, tokens, meta):
             logits, states = model.apply(params, tokens, meta, method=XLSTMLM.prefill)
             return logits[:, -1, :], states
@@ -576,15 +607,24 @@ def generate(
     The jitted runner is cached on (model, shapes, sampling options), so
     repeated calls — e.g. the CLI's per-composer loop — compile once."""
     if fused is None:
-        # Auto-select only configs the kernel implements: the fused kernel
+        # Auto-select only configs where the kernels WIN: the mamba kernel
         # bakes in the reference's no-residual stack (DecodeDims.create
-        # asserts); residual=True configs take the XLA step path.
-        fused = (
-            kind == "mamba"
-            and jax.default_backend() != "cpu"
-            and not getattr(getattr(model, "cfg", None), "residual", False)
+        # asserts; residual=True configs take the XLA step path). xLSTM is
+        # fused only for int8-weight decode — at bf16 the step is bound by
+        # the 345 MB/token weight+matrix-state stream and the XLA loop
+        # already runs at ~96% of the HBM roofline (2,278 vs 2,032 tok/s/seq
+        # fused; experiments/bench_xlstm_sampling.py), so fusion only pays
+        # when it halves the weight bytes.
+        fused = jax.default_backend() != "cpu" and (
+            (
+                kind == "mamba"
+                and not getattr(getattr(model, "cfg", None), "residual", False)
+            )
+            or (kind == "xlstm" and quant in ("int8", "int8w"))
         )
-    fused = fused and kind == "mamba"
+    fused = fused and kind in ("mamba", "xlstm")
+    if kind == "xlstm" and quant == "int8":
+        quant = "int8w"  # the xLSTM kernel implements W8A16 only
     resident = resident and kind == "mamba" and mode == "combined"
     if resident:
         fused = True
@@ -621,7 +661,32 @@ def _make_generate_runner(
 
     def run(params, prompt, meta, rng):
         init_logits, state = prefill(params, prompt, meta)
-        if fused:
+        if fused and kind == "xlstm":
+            from ..ops.pallas_xlstm_decode import (
+                XDims,
+                build_xlstm_decode_params,
+                fused_xlstm_sample_step,
+            )
+
+            step_params = build_xlstm_decode_params(
+                params, model_cfg, prompt.shape[0], quant=quant
+            )
+            if fused_tail:
+                xdims = XDims.create(model_cfg, prompt.shape[0])
+
+                def xlstm_step(pack, token, st, hist, bucket_oh):
+                    return fused_xlstm_sample_step(
+                        pack, token, st, hist, bucket_oh, model_cfg, xdims,
+                        interpret=interp,
+                    )
+
+                toks = sample_tokens_fused_tail(
+                    step_params, init_logits, state, prompt, cfg, rng,
+                    model_cfg, xdims, interpret=interp, quant=quant,
+                    fused_step=xlstm_step,
+                )
+                return jnp.concatenate([prompt, toks], axis=1)
+        elif fused:
             from ..ops.pallas_decode import DecodeDims, build_decode_params
 
             step_params = build_decode_params(
