@@ -64,16 +64,27 @@ if __name__ == "__main__":
     ap.add_argument("--batch", default=None,
                     help="comma list for a bf16 batch sweep, e.g. 2,8,16,32")
     ap.add_argument("--models", default="mamba,xlstm,transformer,classifier")
+    ap.add_argument("--single", default=None,
+                    help="internal: run ONE config 'kind:batch' and exit")
     args = ap.parse_args()
+
+    if args.single:
+        kind, b = args.single.split(":")
+        bench(kind, jnp.bfloat16, int(b))
+        sys.exit(0)
 
     kinds = args.models.split(",")
     if args.batch:
+        # One subprocess per config: the remote TPU backend does not free
+        # device memory between configs in one process (serial sweeps OOM
+        # after the first model), so isolate each point.
+        import subprocess
         for kind in kinds:
             for b in (int(x) for x in args.batch.split(",")):
-                try:
-                    bench(kind, jnp.bfloat16, b)
-                except Exception as e:
-                    print(f"{kind} B{b}: FAILED {type(e).__name__}: {e}", flush=True)
+                r = subprocess.run(
+                    [sys.executable, __file__, "--single", f"{kind}:{b}"])
+                if r.returncode != 0:
+                    print(f"{kind} B{b}: FAILED rc={r.returncode}", flush=True)
     else:
         for kind in kinds:
             for dtype in (jnp.float32, jnp.bfloat16):
