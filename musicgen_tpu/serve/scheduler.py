@@ -1,0 +1,265 @@
+"""Continuous-batching serving scheduler (TPU-native runtime layer).
+
+The reference serves generation as one-shot batch scripts
+(scripts/generate.py: fixed batch, every sequence runs to the same length;
+a short request waits for the longest). This scheduler keeps a fixed pool
+of S decode SLOTS on the chip and streams requests through them
+continuously: when a request finishes, its slot is re-filled from the queue
+while the other slots keep decoding — aggregate throughput stays at the
+serving roofline (BENCHMARKS.md B16 table) instead of draining to the
+slowest request.
+
+TPU-first design (block-synchronous continuous batching):
+  * All shapes are static: S slots, fixed prompt window, fixed decode
+    CHUNK. One compiled prefill (batch 1) + one compiled chunk program —
+    no recompiles at admission time, ever.
+  * The chunk program advances ALL slots `chunk` tokens in one jitted
+    lax.scan (the same 'combined'-mode sampler body as
+    sample/sampler.sample_tokens — grammar filter, tick-window penalty,
+    top-k pick). Between chunks the host retires finished requests and
+    admits queued ones by writing their prefilled state into the slot
+    arrays (jitted dynamic_update_index_in_dim, donated buffers).
+  * Per-request RNG is folded from the request seed and the request-local
+    step index, so a request's stream is a pure function of
+    (params, prompt, seed) — independent of which slot it lands in or what
+    shares the batch. Greedy streams equal sample/sampler.generate exactly;
+    tests/test_serve.py asserts both properties.
+  * Recurrent models only (mamba, xlstm): their step is
+    position-independent, so slots at different stream offsets batch
+    exactly. The transformer's ring-KV step threads one scalar stream
+    offset for the whole batch (sample/cache.step_geometry); per-slot
+    offsets would need per-row ages/rel_base — future work, documented.
+
+Admission latency is bounded by one chunk (chunk=32 ≈ 10 ms at the
+measured ~300 us/token step); idle slots decode garbage that is discarded
+on retire — the standard continuous-batching trade, tunable via `chunk`.
+"""
+from __future__ import annotations
+
+import functools
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import VOCAB, VocabLayout
+from ..sample.sampler import (
+    SamplerConfig,
+    _pick_next,
+    _sample_k,
+    filtered_logits,
+    init_penalty_state,
+    make_sampler,
+    penalty_divisor,
+    push_token,
+)
+
+
+@dataclass
+class Request:
+    """One generation request: fixed-window prompt + token budget."""
+
+    prompt: np.ndarray  # (prompt_len,) int32 — scheduler's fixed window
+    meta: np.ndarray  # (NUM_META,) int32
+    num_tokens: int
+    seed: int = 0
+    rid: int = -1
+    tokens: List[int] = field(default_factory=list)
+
+
+class BatchScheduler:
+    """Slot-based continuous batching over a recurrent decode state.
+
+    Usage:
+        sched = BatchScheduler(model, params, "mamba", slots=8)
+        ids = [sched.submit(prompt, meta, n) for ...]
+        results = sched.run()        # {rid: np.ndarray of tokens}
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        kind: str,
+        prompt_len: int = 2048,
+        slots: int = 8,
+        chunk: int = 32,
+        block_len: int = 2048,
+        greedy: bool = False,
+        layout: VocabLayout = VOCAB,
+    ):
+        if kind not in ("mamba", "xlstm"):
+            raise ValueError(
+                "continuous batching requires a position-independent step; "
+                f"got kind={kind!r} (transformer ring-KV threads a scalar "
+                "stream offset — see module docstring)"
+            )
+        self.kind = kind
+        self.model = model
+        self.params = params
+        self.prompt_len = prompt_len
+        self.slots = slots
+        self.chunk = chunk
+        self.greedy = greedy
+        self.layout = layout
+        self.cfg = SamplerConfig(
+            num_tokens=chunk, greedy=greedy, ring_size=max(block_len, 2048)
+        )
+        self._prefill, self._step = make_sampler(model, kind, block_len)
+        self._queue: deque[Request] = deque()
+        self._active: Dict[int, Request] = {}  # slot -> request
+        self._remaining = np.zeros(slots, np.int64)
+        self._next_rid = 0
+        self._state = None  # stacked slot state (built lazily)
+
+    # -- public API ---------------------------------------------------------
+
+    def submit(self, prompt, meta, num_tokens: int, seed: int = 0) -> int:
+        prompt = np.asarray(prompt, np.int32)
+        if prompt.shape != (self.prompt_len,):
+            raise ValueError(
+                f"prompt must be the scheduler's fixed ({self.prompt_len},) "
+                f"window (reference crops/pads to the model window too — "
+                f"processing/dataset.py); got {prompt.shape}"
+            )
+        req = Request(prompt, np.asarray(meta, np.int32), int(num_tokens),
+                      seed=seed, rid=self._next_rid)
+        self._next_rid += 1
+        self._queue.append(req)
+        return req.rid
+
+    def run(self) -> Dict[int, np.ndarray]:
+        """Drive chunks until queue and slots drain; returns id -> tokens."""
+        done: Dict[int, np.ndarray] = {}
+        self._admit_all()
+        while self._active:
+            tokens = self._run_chunk()  # (S, chunk) int32, host
+            for s, req in list(self._active.items()):
+                take = min(self.chunk, req.num_tokens - len(req.tokens))
+                req.tokens.extend(int(t) for t in tokens[s, :take])
+                if len(req.tokens) >= req.num_tokens:
+                    done[req.rid] = np.asarray(req.tokens, np.int32)
+                    del self._active[s]
+            self._admit_all()
+        return done
+
+    # -- internals ----------------------------------------------------------
+
+    def _zero_slot_state(self):
+        """Initial S-slot stacked state: prefill a zero prompt once and
+        broadcast — gives correctly-shaped state arrays cheaply."""
+        z_prompt = jnp.zeros((1, self.prompt_len), jnp.int32)
+        z_meta = jnp.zeros((1, self._meta_width), jnp.int32)
+        logits, mstate = self._jit_prefill(self.params, z_prompt, z_meta)
+        tile = lambda x: jnp.broadcast_to(
+            x, (self.slots,) + x.shape[1:]
+        ).copy() if hasattr(x, "shape") else x
+        pen = init_penalty_state(
+            jnp.zeros((self.slots, self.prompt_len), jnp.int32),
+            self.cfg.ring_size, self.layout,
+        )
+        return {
+            "logits": tile(logits),
+            "model": jax.tree.map(tile, mstate),
+            "pen": pen,
+            "last": jnp.zeros((self.slots,), jnp.int32),
+            "key": jnp.stack([jax.random.PRNGKey(0)] * self.slots),
+            "lstep": jnp.zeros((self.slots,), jnp.int32),
+        }
+
+    @functools.cached_property
+    def _meta_width(self):
+        from ..config import NUM_META
+
+        return NUM_META
+
+    @functools.cached_property
+    def _jit_prefill(self):
+        return jax.jit(self._prefill)
+
+    @functools.cached_property
+    def _jit_insert(self):
+        def insert(state, s, logits, mstate, pen, last, key):
+            upd = lambda full, new: jax.lax.dynamic_update_index_in_dim(
+                full, new.astype(full.dtype), s, 0
+            )
+            out = dict(state)
+            out["logits"] = upd(state["logits"], logits[0])
+            out["model"] = jax.tree.map(
+                lambda f, n: upd(f, n[0]), state["model"], mstate
+            )
+            out["pen"] = jax.tree.map(
+                lambda f, n: upd(f, n[0]), state["pen"], pen
+            )
+            out["last"] = upd(state["last"], last)
+            out["key"] = upd(state["key"], key)
+            out["lstep"] = upd(state["lstep"], jnp.int32(0))
+            return out
+
+        return jax.jit(insert, donate_argnums=(0,))
+
+    @functools.cached_property
+    def _jit_chunk(self):
+        cfg, layout, step_fn = self.cfg, self.layout, self._step
+
+        def chunk(params, state):
+            def body(carry, _):
+                logits, mstate, pen, last, keys, lstep = carry
+                # Per-slot RNG: request seed folded with the request-LOCAL
+                # step — slot- and batch-composition-independent.
+                step_keys = jax.vmap(jax.random.fold_in)(keys, lstep)
+                k_key, pick_key = jnp.moveaxis(
+                    jax.vmap(jax.random.split)(step_keys), 1, 0
+                )
+                k = jax.vmap(
+                    lambda l, kk: _sample_k(l[None], kk, layout)[0]
+                )(last, k_key)
+                w = filtered_logits(last, logits, layout)
+                w = w / penalty_divisor(pen.hist, layout)
+                nxt = jax.vmap(
+                    lambda wi, ki, pk: _pick_next(
+                        wi[None], ki[None], pk, cfg.max_topk, cfg.greedy
+                    )[0]
+                )(w, k, pick_key)
+                pen = push_token(pen, nxt, layout)
+                logits, mstate = step_fn(params, nxt, mstate, jnp.int32(0))
+                return (logits, mstate, pen, nxt, keys, lstep + 1), nxt
+
+            carry0 = (
+                state["logits"], state["model"], state["pen"],
+                state["last"], state["key"], state["lstep"],
+            )
+            carry, toks = jax.lax.scan(body, carry0, None, length=self.chunk)
+            logits, mstate, pen, last, keys, lstep = carry
+            out = {
+                "logits": logits, "model": mstate, "pen": pen,
+                "last": last, "key": keys, "lstep": lstep,
+            }
+            return out, toks.transpose(1, 0)  # (S, chunk)
+
+        return jax.jit(chunk, donate_argnums=(1,))
+
+    def _admit_all(self):
+        if self._state is None:
+            self._state = self._zero_slot_state()
+        free = [s for s in range(self.slots) if s not in self._active]
+        for s in free:
+            if not self._queue:
+                break
+            req = self._queue.popleft()
+            prompt = jnp.asarray(req.prompt)[None]
+            meta = jnp.asarray(req.meta)[None]
+            logits, mstate = self._jit_prefill(self.params, prompt, meta)
+            pen = init_penalty_state(prompt, self.cfg.ring_size, self.layout)
+            self._state = self._jit_insert(
+                self._state, jnp.int32(s), logits, mstate, pen,
+                prompt[0, -1], jax.random.PRNGKey(req.seed),
+            )
+            self._active[s] = req
+
+    def _run_chunk(self) -> np.ndarray:
+        self._state, toks = self._jit_chunk(self.params, self._state)
+        return np.asarray(toks)

@@ -1,0 +1,114 @@
+"""Continuous-batching scheduler (serve/scheduler.py): greedy streams must
+equal the one-shot sampler exactly, independent of slot placement, batch
+composition, and admission order; stochastic streams must be a pure
+function of (params, prompt, seed)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from musicgen_tpu.config import NUM_META, VOCAB, MambaConfig
+from musicgen_tpu.models.mamba import MambaLM
+from musicgen_tpu.sample.sampler import generate
+from musicgen_tpu.serve import BatchScheduler
+
+SMALL = MambaConfig(
+    d_model=32, n_layers=2, d_state=8, d_conv=4, expand=2, headdim=8,
+    chunk_size=8, vocab_size=VOCAB.vocab_size, metadata_vocab_size=9,
+)
+PROMPT_LEN = 16
+
+
+def _prompt(rng):
+    # Grammar-plausible field-cycled stream.
+    out = []
+    while len(out) < PROMPT_LEN:
+        out.append(int(rng.integers(0, VOCAB.dyn_start)))
+        out.append(int(rng.integers(VOCAB.dyn_start, VOCAB.length_start)))
+        out.append(int(rng.integers(VOCAB.length_start, VOCAB.time_start)))
+        out.append(int(rng.integers(VOCAB.time_start, VOCAB.time_start + 16)))
+        out.append(int(rng.integers(VOCAB.tempo_start, VOCAB.vocab_size)))
+    return np.asarray(out[:PROMPT_LEN], np.int32)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = MambaLM(SMALL)
+    rng = np.random.default_rng(0)
+    prompts = [_prompt(rng) for _ in range(5)]
+    metas = [
+        np.asarray(rng.integers(0, 9, (NUM_META,)), np.int32)
+        for _ in range(5)
+    ]
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(prompts[0])[None],
+        jnp.asarray(metas[0])[None],
+    )
+    return model, params, prompts, metas
+
+
+def _oracle(model, params, prompt, meta, n):
+    """One-shot greedy stream via the production sampler."""
+    out = generate(
+        model, params, "mamba",
+        jnp.asarray(prompt)[None], jnp.asarray(meta)[None],
+        n, PROMPT_LEN, jax.random.PRNGKey(0), greedy=True, fused=False,
+    )
+    return np.asarray(out)[0, PROMPT_LEN:]
+
+
+def test_greedy_matches_oneshot_mixed_lengths(setup):
+    model, params, prompts, metas = setup
+    sched = BatchScheduler(
+        model, params, "mamba", prompt_len=PROMPT_LEN, slots=2, chunk=4,
+        greedy=True, block_len=PROMPT_LEN,
+    )
+    lengths = [6, 11, 3]
+    ids = [
+        sched.submit(prompts[i], metas[i], lengths[i]) for i in range(3)
+    ]
+    res = sched.run()
+    assert sorted(res) == sorted(ids)
+    for i, rid in enumerate(ids):
+        want = _oracle(model, params, prompts[i], metas[i], lengths[i])
+        np.testing.assert_array_equal(
+            res[rid], want,
+            err_msg=f"request {i} (len {lengths[i]}) diverged",
+        )
+
+
+def test_admission_after_retire(setup):
+    """More requests than slots: the 3rd request is admitted only when a
+    slot frees mid-run; its stream must still match the one-shot oracle."""
+    model, params, prompts, metas = setup
+    sched = BatchScheduler(
+        model, params, "mamba", prompt_len=PROMPT_LEN, slots=1, chunk=4,
+        greedy=True, block_len=PROMPT_LEN,
+    )
+    ids = [sched.submit(prompts[i], metas[i], 5) for i in range(3)]
+    res = sched.run()
+    for i, rid in enumerate(ids):
+        want = _oracle(model, params, prompts[i], metas[i], 5)
+        np.testing.assert_array_equal(res[rid], want)
+
+
+def test_stochastic_stream_is_composition_independent(setup):
+    """Same (prompt, seed) must yield the same tokens whether the request
+    runs alone in a 1-slot pool or beside others in a 4-slot pool."""
+    model, params, prompts, metas = setup
+
+    def run_pool(slots, reqs):
+        sched = BatchScheduler(
+            model, params, "mamba", prompt_len=PROMPT_LEN, slots=slots,
+            chunk=4, greedy=False, block_len=PROMPT_LEN,
+        )
+        ids = [
+            sched.submit(prompts[i], metas[i], 8, seed=100 + i)
+            for i in reqs
+        ]
+        return {r: t for r, t in zip(reqs, map(sched.run().__getitem__, ids))}
+
+    solo = run_pool(1, [2])
+    crowd = run_pool(4, [0, 1, 2, 3])
+    np.testing.assert_array_equal(solo[2], crowd[2])
