@@ -394,7 +394,7 @@ def sample_tokens_fused_tail(
     if fused_step is None:
         from ..ops.pallas_decode import fused_sample_step
 
-        def fused_step(pack, token, state, hist, bucket_oh):
+        def fused_step(pack, token, state, hist, bucket_oh, stream_idx):
             return fused_sample_step(
                 pack, token, state, hist, bucket_oh, model_cfg, dims,
                 interpret=interpret,
@@ -423,7 +423,7 @@ def sample_tokens_fused_tail(
         pen = push_token(pen, next_tok, layout)
         bucket_oh = jax.nn.one_hot(field_bucket(next_tok, layout), 8)
         vals, idxs, model_state = fused_step(
-            dp, next_tok, model_state, pen.hist, bucket_oh
+            dp, next_tok, model_state, pen.hist, bucket_oh, stream_idx
         )
         return (
             (vals, idxs, model_state, pen, next_tok, stream_idx + 1),
@@ -470,6 +470,33 @@ def make_sampler(
 
     if kind == "transformer":
         from ..models.transformer import TransformerLM
+
+        if fused_decode:
+            # Full-window steady-state kernel (ops/pallas_transformer_decode):
+            # generate() gates on prompt_len == block_len == cfg.block_len.
+            assert cfg is not None and batch is not None
+            from ..ops.pallas_transformer_decode import (
+                TDims,
+                build_transformer_decode_params,
+                fused_transformer_logits_step,
+                stack_transformer_cache,
+            )
+
+            tdims = TDims.create(cfg, batch)
+
+            def prefill(params, tokens, meta):
+                logits, caches = model.apply(
+                    params, tokens, meta, method=TransformerLM.prefill
+                )
+                return logits[:, -1, :], stack_transformer_cache(caches, tdims)
+
+            def step(tp, token, carry, stream_idx):
+                return fused_transformer_logits_step(
+                    tp, token, carry, cfg, tdims, stream_idx,
+                    interpret=interpret, quant=quant,
+                )
+
+            return prefill, step
 
         def prefill(params, tokens, meta):
             logits, caches = model.apply(
@@ -620,11 +647,26 @@ def generate(
                 kind == "mamba"
                 and not getattr(getattr(model, "cfg", None), "residual", False)
             )
+            # The xLSTM kernel pays only when it halves the weight bytes
+            # (int8w): at bf16 its XLA step loop already runs at ~96% of the
+            # HBM roofline (2,262 vs 2,031 tok/s/seq fused). The transformer
+            # kernel wins at bf16 too (1,536 vs 1,415; KV-cache reads ride
+            # the fused weight stream) — BENCHMARKS.md round-3 table.
             or (kind == "xlstm" and quant in ("int8", "int8w"))
+            or kind == "transformer"
         )
-    fused = fused and kind in ("mamba", "xlstm")
-    if kind == "xlstm" and quant == "int8":
-        quant = "int8w"  # the xLSTM kernel implements W8A16 only
+    fused = fused and kind in ("mamba", "xlstm", "transformer")
+    if kind in ("xlstm", "transformer") and quant == "int8":
+        quant = "int8w"  # these kernels implement W8A16 only
+    if kind == "transformer" and fused:
+        # The fused kernel is the steady-state (window always full) program:
+        # it needs a full-window prompt and the model's trained ring size.
+        mc = getattr(model, "cfg", None)
+        fused = (
+            mc is not None
+            and block_len == mc.block_len
+            and int(prompt.shape[1]) == block_len
+        )
     resident = resident and kind == "mamba" and mode == "combined"
     if resident:
         fused = True
@@ -674,7 +716,7 @@ def _make_generate_runner(
             if fused_tail:
                 xdims = XDims.create(model_cfg, prompt.shape[0])
 
-                def xlstm_step(pack, token, st, hist, bucket_oh):
+                def xlstm_step(pack, token, st, hist, bucket_oh, stream_idx):
                     return fused_xlstm_sample_step(
                         pack, token, st, hist, bucket_oh, model_cfg, xdims,
                         interpret=interp,
@@ -684,6 +726,31 @@ def _make_generate_runner(
                     step_params, init_logits, state, prompt, cfg, rng,
                     model_cfg, xdims, interpret=interp, quant=quant,
                     fused_step=xlstm_step,
+                )
+                return jnp.concatenate([prompt, toks], axis=1)
+        elif fused and kind == "transformer":
+            from ..ops.pallas_transformer_decode import (
+                TDims,
+                build_transformer_decode_params,
+                fused_transformer_sample_step,
+            )
+
+            step_params = build_transformer_decode_params(
+                params, model_cfg, prompt.shape[0], quant=quant
+            )
+            if fused_tail:
+                tdims = TDims.create(model_cfg, prompt.shape[0])
+
+                def tf_step(pack, token, st, hist, bucket_oh, stream_idx):
+                    return fused_transformer_sample_step(
+                        pack, token, st, hist, bucket_oh, model_cfg, tdims,
+                        stream_idx, interpret=interp, quant=quant,
+                    )
+
+                toks = sample_tokens_fused_tail(
+                    step_params, init_logits, state, prompt, cfg, rng,
+                    model_cfg, tdims, interpret=interp, quant=quant,
+                    fused_step=tf_step,
                 )
                 return jnp.concatenate([prompt, toks], axis=1)
         elif fused:

@@ -90,6 +90,8 @@ class BatchScheduler:
         block_len: int = 2048,
         greedy: bool = False,
         layout: VocabLayout = VOCAB,
+        fused: Optional[bool] = None,
+        quant: str = "bf16",
     ):
         if kind not in ("mamba", "xlstm"):
             raise ValueError(
@@ -108,6 +110,26 @@ class BatchScheduler:
         self.cfg = SamplerConfig(
             num_tokens=chunk, greedy=greedy, ring_size=max(block_len, 2048)
         )
+        # Chunk decode through the fused full-model kernel (same policy as
+        # sample.generate: mamba wins on accelerators). Slot state stays in
+        # MODEL format (batch-leading — the insert/tile logic needs it);
+        # _jit_chunk converts to the kernel's stacked layout at the chunk
+        # edges, ~0.6 MB/step amortized against the 166 MB weight stream.
+        if fused is None:
+            fused = (
+                jax.default_backend() != "cpu"
+                and kind == "mamba"
+                and not getattr(getattr(model, "cfg", None), "residual", False)
+            )
+        self._fused = fused and kind == "mamba"
+        self.quant = quant
+        self._fused_pack = None
+        if self._fused:
+            from ..ops.pallas_decode import build_decode_params
+
+            self._fused_pack = build_decode_params(
+                params, model.cfg, slots, quant=quant
+            )
         self._prefill, self._step = make_sampler(model, kind, block_len)
         self._queue: deque[Request] = deque()
         self._active: Dict[int, Request] = {}  # slot -> request
@@ -204,6 +226,27 @@ class BatchScheduler:
     @functools.cached_property
     def _jit_chunk(self):
         cfg, layout, step_fn = self.cfg, self.layout, self._step
+        if self._fused:
+            from ..ops.pallas_decode import (
+                DecodeDims,
+                fused_logits_step,
+                stack_states,
+                unstack_states,
+            )
+
+            mcfg = self.model.cfg
+            dims = DecodeDims.create(mcfg, self.slots)
+            qmode = "w8a16" if self.quant in ("int8", "int8w") else "w8a8"
+
+            def step_fn(pack, token, mstate, si):
+                return fused_logits_step(
+                    pack, token, mstate, mcfg, dims, quant_mode=qmode
+                )
+
+            to_kernel = lambda st: stack_states(st)
+            from_kernel = lambda cv_ss: unstack_states(*cv_ss, dims)
+        else:
+            to_kernel = from_kernel = lambda st: st
 
         def chunk(params, state):
             def body(carry, _):
@@ -229,13 +272,13 @@ class BatchScheduler:
                 return (logits, mstate, pen, nxt, keys, lstep + 1), nxt
 
             carry0 = (
-                state["logits"], state["model"], state["pen"],
+                state["logits"], to_kernel(state["model"]), state["pen"],
                 state["last"], state["key"], state["lstep"],
             )
             carry, toks = jax.lax.scan(body, carry0, None, length=self.chunk)
             logits, mstate, pen, last, keys, lstep = carry
             out = {
-                "logits": logits, "model": mstate, "pen": pen,
+                "logits": logits, "model": from_kernel(mstate), "pen": pen,
                 "last": last, "key": keys, "lstep": lstep,
             }
             return out, toks.transpose(1, 0)  # (S, chunk)
@@ -261,5 +304,6 @@ class BatchScheduler:
             self._active[s] = req
 
     def _run_chunk(self) -> np.ndarray:
-        self._state, toks = self._jit_chunk(self.params, self._state)
+        p = self._fused_pack if self._fused else self.params
+        self._state, toks = self._jit_chunk(p, self._state)
         return np.asarray(toks)
