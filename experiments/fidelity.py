@@ -51,6 +51,13 @@ def main():
     args = ap.parse_args()
 
     np_dir = os.path.join(args.out, "np")
+    # cli.preprocess mirrors the input tree under out/<basename(midi_dir)>/
+    # — descend into a sole child dir that holds the band dirs.
+    kids = sorted(
+        d for d in os.listdir(np_dir) if os.path.isdir(os.path.join(np_dir, d))
+    )
+    if len(kids) == 1 and not glob.glob(os.path.join(np_dir, "*.npy")):
+        np_dir = os.path.join(np_dir, kids[0])
     meta = os.path.join(args.out, "metadata.json")
     gen_ckpt = newest_ckpt(os.path.join(args.out, "ckpt", args.model))
     clf_ckpt = newest_ckpt(os.path.join(args.out, "ckpt", "classifier"))
@@ -94,9 +101,18 @@ def main():
     run(py + ["musicgen_tpu.cli.preprocess", "--midi",
               os.path.dirname(corpus), "--out", gen_np, "--min-notes", "10"])
 
+    # First real band token for this corpus' tokenization (the reference's
+    # full-scale corpus puts bands at 314; ours depends on metadata.json).
+    from musicgen_tpu.data.metadata import build_tokenization
+
+    tok = build_tokenization(json.load(open(meta)))[0]
+    band_start = min(
+        v for k, v in tok["band_tokenized"].items() if k != "null"
+    )
     out_json = os.path.join(args.out, f"fidelity_{args.model}.json")
     run(py + ["musicgen_tpu.cli.evaluate", "classifier", "--ckpt", clf_ckpt,
-              "--data", gen_np, "--metadata", meta, "--out", out_json])
+              "--data", gen_np, "--metadata", meta,
+              "--band-start", str(band_start), "--out", out_json])
     res = json.load(open(out_json))
     res["n_per_band"] = counts
     res["generator"] = args.model

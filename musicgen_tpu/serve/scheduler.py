@@ -237,10 +237,12 @@ class BatchScheduler:
             mcfg = self.model.cfg
             dims = DecodeDims.create(mcfg, self.slots)
             qmode = "w8a16" if self.quant in ("int8", "int8w") else "w8a8"
+            interp = jax.default_backend() == "cpu"
 
             def step_fn(pack, token, mstate, si):
                 return fused_logits_step(
-                    pack, token, mstate, mcfg, dims, quant_mode=qmode
+                    pack, token, mstate, mcfg, dims, quant_mode=qmode,
+                    interpret=interp,
                 )
 
             to_kernel = lambda st: stack_states(st)

@@ -112,3 +112,21 @@ def test_stochastic_stream_is_composition_independent(setup):
     solo = run_pool(1, [2])
     crowd = run_pool(4, [0, 1, 2, 3])
     np.testing.assert_array_equal(solo[2], crowd[2])
+
+
+def test_fused_chunk_matches_oneshot(setup):
+    """The fused-kernel chunk path (interpret mode on CPU) must produce the
+    same greedy streams as the XLA path — this pins the model-format <->
+    stacked-layout conversion at the chunk edges."""
+    model, params, prompts, metas = setup
+    sched = BatchScheduler(
+        model, params, "mamba", prompt_len=PROMPT_LEN, slots=2, chunk=4,
+        greedy=True, block_len=PROMPT_LEN, fused=True,
+    )
+    ids = [sched.submit(prompts[i], metas[i], 6) for i in range(2)]
+    res = sched.run()
+    for i, rid in enumerate(ids):
+        want = _oracle(model, params, prompts[i], metas[i], 6)
+        np.testing.assert_array_equal(
+            res[rid], want, err_msg=f"fused request {i} diverged"
+        )
