@@ -1,5 +1,7 @@
 """Drive + benchmark the continuous-batching scheduler (serve/scheduler.py)
-on the real chip with the trained full-size Mamba checkpoint.
+on the real chip with a trained full-size checkpoint (--model
+mamba/xlstm/transformer — the transformer runs the per-slot ring-KV
+geometry step).
 
 Compares aggregate throughput and per-request latency against the static-
 batch alternative (everyone padded to the longest request — the reference's
@@ -20,11 +22,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from musicgen_tpu.config import MambaConfig
+from musicgen_tpu.config import DEFAULT_CONFIG
 from musicgen_tpu.data.dataset import TokenDataset
 from musicgen_tpu.midi import decode as midi_decode, note_to_midi
-from musicgen_tpu.models.mamba import MambaLM
-from musicgen_tpu.models.registry import init_params
+from musicgen_tpu.models.registry import init_params, new_model
 from musicgen_tpu.serve import BatchScheduler
 from musicgen_tpu.train import trainer as T
 
@@ -33,6 +34,8 @@ OUT = "experiments/out"
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="mamba",
+                    choices=["mamba", "xlstm", "transformer"])
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--chunk", type=int, default=64)
     ap.add_argument(
@@ -42,10 +45,11 @@ def main():
     args = ap.parse_args()
     lengths = [int(t) for t in args.tokens.split(",")]
 
-    cfg = MambaConfig()
-    model = MambaLM(cfg)
-    params = init_params(model, "mamba", block_len=64)
-    ckpts = sorted(glob.glob(f"{OUT}/ckpt/mamba/loss_*"), key=os.path.getmtime)
+    model = new_model(args.model, DEFAULT_CONFIG, dtype=jnp.float32)
+    params = init_params(model, args.model, block_len=64)
+    ckpts = sorted(
+        glob.glob(f"{OUT}/ckpt/{args.model}/loss_*"), key=os.path.getmtime
+    )
     if ckpts:
         opt = T.make_optimizer()
         state = T.load_checkpoint(
@@ -63,7 +67,7 @@ def main():
     )
     rng = np.random.default_rng(0)
     sched = BatchScheduler(
-        model, params, "mamba", prompt_len=args.prompt_len,
+        model, params, args.model, prompt_len=args.prompt_len,
         slots=args.slots, chunk=args.chunk, block_len=2048,
     )
     # Warm-up: compile prefill + chunk + insert programs outside the timed
@@ -109,9 +113,9 @@ def main():
     assert toks.shape == (n,), toks.shape
     notes = midi_decode([int(t) for t in toks])
     os.makedirs(f"{OUT}/serve", exist_ok=True)
-    note_to_midi(notes, f"{OUT}/serve/served_mamba_0.mid")
+    note_to_midi(notes, f"{OUT}/serve/served_{args.model}_0.mid")
     print(f"decoded request 0 -> {len(notes)} notes -> "
-          f"{OUT}/serve/served_mamba_0.mid", flush=True)
+          f"{OUT}/serve/served_{args.model}_0.mid", flush=True)
 
 
 if __name__ == "__main__":

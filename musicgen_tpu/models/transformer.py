@@ -120,14 +120,27 @@ class RelPosSelfAttention(nn.Module):
         rel_base: jax.Array,
     ) -> Tuple[jax.Array, Cache]:
         """x: (B, n_embd) single position. Writes K/V at `slot`, attends with
-        the provided per-slot ages."""
+        the provided per-slot ages.
+
+        `slot` may be a (B,) vector (with key_ages (B, S)): each batch row
+        writes its own ring slot — the continuous-batching serving case
+        where rows sit at different stream offsets."""
         c = self.cfg
         b = x.shape[0]
         q = self.q_proj(x).reshape(b, c.n_heads, self.head_dim)
         k = self.k_proj(x).reshape(b, c.n_heads, self.head_dim)
         v = self.v_proj(x).reshape(b, c.n_heads, self.head_dim)
-        k_cache = jax.lax.dynamic_update_index_in_dim(cache["k"], k, slot, 2)
-        v_cache = jax.lax.dynamic_update_index_in_dim(cache["v"], v, slot, 2)
+        if jnp.ndim(slot) == 1:
+            upd = jax.vmap(
+                lambda full, new, s: jax.lax.dynamic_update_index_in_dim(
+                    full, new, s, 1
+                )
+            )
+            k_cache = upd(cache["k"], k, slot)
+            v_cache = upd(cache["v"], v, slot)
+        else:
+            k_cache = jax.lax.dynamic_update_index_in_dim(cache["k"], k, slot, 2)
+            v_cache = jax.lax.dynamic_update_index_in_dim(cache["v"], v, slot, 2)
         scale = float(c.n_embd) ** -0.5
         out = relpos_attention_step(
             q, k_cache, v_cache, self.rel_pos_emb.astype(self.dtype), scale,

@@ -86,7 +86,7 @@ def relpos_attention_step(
     v_cache: jax.Array,  # (B, H, S, D)
     rel_emb: jax.Array,  # (H, T, D) with T >= S (the trained buffer size)
     scale: float,
-    key_ages: jax.Array,  # (S,) int32: query_pos - key_pos; negative = masked
+    key_ages: jax.Array,  # (S,) or (B, S) int32: query_pos - key_pos; <0 = masked
     rel_base: jax.Array,  # scalar int32: the query's row index in the window
 ) -> jax.Array:
     """Single-step cached attention over a (possibly ring-ordered) KV cache.
@@ -99,14 +99,25 @@ def relpos_attention_step(
     with age < 0 (unfilled) are masked. Because the learned rel_emb is
     position-independent on the K side, cached K/V stay valid as the window
     slides.
+
+    `key_ages` may be (B, S): per-row ages for batch rows at DIFFERENT
+    stream offsets (continuous-batching serving, serve/scheduler.py). The
+    shared-(S,) path stays the cheaper gather.
     """
     t = rel_emb.shape[1]
     ac = jnp.einsum("bhd,bhsd->bhs", q, k_cache)
     rel_idx = jnp.clip(rel_base - key_ages, 0, t - 1)
-    rel = rel_emb[:, rel_idx, :]  # (H, S, D)
-    bd = jnp.einsum("bhd,hsd->bhs", q, rel)
+    if key_ages.ndim == 2:
+        rel = rel_emb[:, rel_idx, :]  # (H, B, S, D)
+        bd = jnp.einsum("bhd,hbsd->bhs", q, rel)
+        vis = (key_ages >= 0) & (key_ages <= rel_base)  # (B, S)
+        visible = vis[:, None, :]
+    else:
+        rel = rel_emb[:, rel_idx, :]  # (H, S, D)
+        bd = jnp.einsum("bhd,hsd->bhs", q, rel)
+        vis = (key_ages >= 0) & (key_ages <= rel_base)
+        visible = vis[None, None, :]
     scores = (ac + bd) * scale
-    visible = (key_ages >= 0) & (key_ages <= rel_base)
-    scores = jnp.where(visible[None, None, :], scores, NEG_INF)
+    scores = jnp.where(visible, scores, NEG_INF)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v_cache.dtype)
     return jnp.einsum("bhs,bhsd->bhd", probs, v_cache)

@@ -24,15 +24,24 @@ TPU-first design (block-synchronous continuous batching):
     (params, prompt, seed) — independent of which slot it lands in or what
     shares the batch. Greedy streams equal sample/sampler.generate exactly;
     tests/test_serve.py asserts both properties.
-  * Recurrent models only (mamba, xlstm): their step is
-    position-independent, so slots at different stream offsets batch
-    exactly. The transformer's ring-KV step threads one scalar stream
-    offset for the whole batch (sample/cache.step_geometry); per-slot
-    offsets would need per-row ages/rel_base — future work, documented.
+  * All three generator families serve. The recurrent models (mamba,
+    xlstm) batch trivially — their step is position-independent. The
+    transformer runs a batched-geometry ring-KV step (per-row write slot +
+    (B, S) key ages derived from each slot's local step count;
+    models/transformer.py MultiHeadAttention.step) so slots at different
+    stream offsets share one compiled step. rel_base is the fixed
+    streaming-geometry constant, so it stays scalar.
 
 Admission latency is bounded by one chunk (chunk=32 ≈ 10 ms at the
 measured ~300 us/token step); idle slots decode garbage that is discarded
 on retire — the standard continuous-batching trade, tunable via `chunk`.
+
+Multi-chip: pass `mesh=` (a ('data','model') mesh) to shard the slot pool
+over the 'data' axis under GSPMD — params replicate, each chip decodes its
+slot shard at the per-chip weight-stream roofline, and aggregate
+throughput scales with the axis size. Streams are bit-identical to the
+single-chip scheduler because per-request RNG never depends on slot or
+batch composition.
 """
 from __future__ import annotations
 
@@ -92,13 +101,10 @@ class BatchScheduler:
         layout: VocabLayout = VOCAB,
         fused: Optional[bool] = None,
         quant: str = "bf16",
+        mesh=None,
     ):
-        if kind not in ("mamba", "xlstm"):
-            raise ValueError(
-                "continuous batching requires a position-independent step; "
-                f"got kind={kind!r} (transformer ring-KV threads a scalar "
-                "stream offset — see module docstring)"
-            )
+        if kind not in ("mamba", "xlstm", "transformer"):
+            raise ValueError(f"unknown model kind: {kind!r}")
         self.kind = kind
         self.model = model
         self.params = params
@@ -110,6 +116,34 @@ class BatchScheduler:
         self.cfg = SamplerConfig(
             num_tokens=chunk, greedy=greedy, ring_size=max(block_len, 2048)
         )
+        # Multi-chip serving: every slot-state array is batch-leading, so a
+        # ('data',) mesh shards the slot pool across chips under GSPMD —
+        # each chip decodes slots/|data| sequences against its own replica
+        # of the weights (per-chip weight-stream roofline; aggregate scales
+        # linearly, same argument as parallel/serving.py). Per-request RNG
+        # is slot-independent, so streams are bit-identical to the
+        # single-chip scheduler (tests/test_serve.py pins this on the
+        # 8-device virtual mesh). Pallas kernels do not auto-partition
+        # under GSPMD, so the mesh path serves the XLA step.
+        self.mesh = mesh
+        if mesh is not None:
+            data = mesh.shape["data"]
+            if slots % data:
+                raise ValueError(
+                    f"slots {slots} must divide the 'data' axis ({data})"
+                )
+            if fused:
+                raise ValueError(
+                    "fused decode kernels cannot be GSPMD-sharded; use "
+                    "fused=None/False with mesh"
+                )
+            fused = False
+            from ..parallel.mesh import batch_sharding, param_shardings
+
+            self._slot_sharding = batch_sharding(mesh)
+            self.params = params = jax.device_put(
+                params, param_shardings(params, mesh)
+            )
         # Chunk decode through the fused full-model kernel (same policy as
         # sample.generate: mamba wins on accelerators). Slot state stays in
         # MODEL format (batch-leading — the insert/tile logic needs it);
@@ -131,6 +165,37 @@ class BatchScheduler:
                 params, model.cfg, slots, quant=quant
             )
         self._prefill, self._step = make_sampler(model, kind, block_len)
+        if kind == "transformer":
+            # Per-slot stream offsets: each slot's ring-KV geometry (write
+            # slot, key ages) is a pure function of that slot's local step
+            # count, so the batched step (models/transformer.py step with
+            # (B,) slot + (B, S) ages) lets rows sit at DIFFERENT offsets —
+            # the continuous-batching requirement the scalar-offset sampler
+            # step can't meet. rel_base is the fixed streaming-geometry
+            # constant (sample/cache.step_geometry), identical across rows.
+            from ..models.transformer import TransformerLM
+            from ..sample.cache import step_geometry, token_slot
+
+            phys = model.cfg.seq_len
+            blen, plen, mdl = block_len, prompt_len, model
+
+            def _t_step(p, token, caches, lstep):
+                total = plen + lstep + 1  # (S,) per-slot stream length
+                ages, rel_base = jax.vmap(
+                    lambda t: step_geometry(t, blen), out_axes=(0, None)
+                )(total)
+                if ages.shape[1] < phys:
+                    ages = jnp.pad(
+                        ages, ((0, 0), (0, phys - ages.shape[1])),
+                        constant_values=-1,
+                    )
+                slot = token_slot(total - 1, blen)
+                return mdl.apply(
+                    p, token, caches, slot, ages, rel_base,
+                    method=TransformerLM.step,
+                )
+
+            self._step = _t_step
         self._queue: deque[Request] = deque()
         self._active: Dict[int, Request] = {}  # slot -> request
         self._remaining = np.zeros(slots, np.int64)
@@ -183,7 +248,7 @@ class BatchScheduler:
             jnp.zeros((self.slots, self.prompt_len), jnp.int32),
             self.cfg.ring_size, self.layout,
         )
-        return {
+        state = {
             "logits": tile(logits),
             "model": jax.tree.map(tile, mstate),
             "pen": pen,
@@ -191,6 +256,11 @@ class BatchScheduler:
             "key": jnp.stack([jax.random.PRNGKey(0)] * self.slots),
             "lstep": jnp.zeros((self.slots,), jnp.int32),
         }
+        if self.mesh is not None:
+            state = jax.tree.map(
+                lambda x: jax.device_put(x, self._slot_sharding), state
+            )
+        return state
 
     @functools.cached_property
     def _meta_width(self):
@@ -270,7 +340,7 @@ class BatchScheduler:
                     )[0]
                 )(w, k, pick_key)
                 pen = push_token(pen, nxt, layout)
-                logits, mstate = step_fn(params, nxt, mstate, jnp.int32(0))
+                logits, mstate = step_fn(params, nxt, mstate, lstep)
                 return (logits, mstate, pen, nxt, keys, lstep + 1), nxt
 
             carry0 = (

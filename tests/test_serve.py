@@ -114,6 +114,118 @@ def test_stochastic_stream_is_composition_independent(setup):
     np.testing.assert_array_equal(solo[2], crowd[2])
 
 
+@pytest.fixture(scope="module")
+def tsetup():
+    from musicgen_tpu.config import TransformerConfig
+    from musicgen_tpu.models.transformer import TransformerLM
+
+    model = TransformerLM(TransformerConfig(
+        n_embd=32, n_heads=4, n_layer=2, block_len=PROMPT_LEN, dropout=0.0,
+        vocab_size=VOCAB.vocab_size, metadata_vocab_size=9,
+    ))
+    rng = np.random.default_rng(1)
+    prompts = [_prompt(rng) for _ in range(4)]
+    metas = [
+        np.asarray(rng.integers(0, 9, (NUM_META,)), np.int32)
+        for _ in range(4)
+    ]
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(prompts[0])[None],
+        jnp.asarray(metas[0])[None],
+    )
+    return model, params, prompts, metas
+
+
+def _t_oracle(model, params, prompt, meta, n):
+    out = generate(
+        model, params, "transformer",
+        jnp.asarray(prompt)[None], jnp.asarray(meta)[None],
+        n, PROMPT_LEN, jax.random.PRNGKey(0), greedy=True, fused=False,
+    )
+    return np.asarray(out)[0, PROMPT_LEN:]
+
+
+def test_transformer_greedy_matches_oneshot_mixed_lengths(tsetup):
+    """Per-slot ring-KV geometry: transformer requests at different stream
+    offsets (mixed lengths + mid-run admission) must match the one-shot
+    sampler token for token. Lengths > block_len exercise the ring wrap."""
+    model, params, prompts, metas = tsetup
+    sched = BatchScheduler(
+        model, params, "transformer", prompt_len=PROMPT_LEN, slots=2,
+        chunk=4, greedy=True, block_len=PROMPT_LEN,
+    )
+    lengths = [6, 11, 3, 20]  # 4 requests over 2 slots; 20 wraps the ring
+    ids = [
+        sched.submit(prompts[i], metas[i], lengths[i]) for i in range(4)
+    ]
+    res = sched.run()
+    for i, rid in enumerate(ids):
+        want = _t_oracle(model, params, prompts[i], metas[i], lengths[i])
+        np.testing.assert_array_equal(
+            res[rid], want,
+            err_msg=f"transformer request {i} (len {lengths[i]}) diverged",
+        )
+
+
+def test_transformer_stochastic_composition_independent(tsetup):
+    model, params, prompts, metas = tsetup
+
+    def run_pool(slots, reqs):
+        sched = BatchScheduler(
+            model, params, "transformer", prompt_len=PROMPT_LEN,
+            slots=slots, chunk=4, greedy=False, block_len=PROMPT_LEN,
+        )
+        ids = [sched.submit(prompts[i], metas[i], 8, seed=7 + i)
+               for i in reqs]
+        return {r: t for r, t in zip(reqs, map(sched.run().__getitem__, ids))}
+
+    solo = run_pool(1, [1])
+    crowd = run_pool(3, [0, 1, 2])
+    np.testing.assert_array_equal(solo[1], crowd[1])
+
+
+def test_mesh_sharded_scheduler_matches_single_device(setup):
+    """Distributed serving: the slot pool sharded over an 8-device 'data'
+    mesh must produce bit-identical streams to the single-device scheduler
+    (per-request RNG is slot-independent, params replicate)."""
+    from musicgen_tpu.config import MeshConfig
+    from musicgen_tpu.parallel.mesh import make_mesh
+
+    model, params, prompts, metas = setup
+    mesh = make_mesh(MeshConfig(data=8, model=1), jax.devices()[:8])
+    # 5 distinct requests over 8 sharded slots, mixed lengths + stochastic.
+    kw = dict(prompt_len=PROMPT_LEN, chunk=4, greedy=False,
+              block_len=PROMPT_LEN)
+    dist = BatchScheduler(model, params, "mamba", slots=8, mesh=mesh, **kw)
+    solo = BatchScheduler(model, params, "mamba", slots=2, **kw)
+    lengths = [6, 11, 3, 8, 5]
+    ids_d = [dist.submit(prompts[i], metas[i], lengths[i], seed=50 + i)
+             for i in range(5)]
+    ids_s = [solo.submit(prompts[i], metas[i], lengths[i], seed=50 + i)
+             for i in range(5)]
+    res_d, res_s = dist.run(), solo.run()
+    for i in range(5):
+        np.testing.assert_array_equal(
+            res_d[ids_d[i]], res_s[ids_s[i]],
+            err_msg=f"mesh-sharded request {i} diverged",
+        )
+
+
+def test_mesh_rejects_bad_config(setup):
+    from musicgen_tpu.config import MeshConfig
+    from musicgen_tpu.parallel.mesh import make_mesh
+
+    model, params, prompts, metas = setup
+    mesh = make_mesh(MeshConfig(data=8, model=1), jax.devices()[:8])
+    with pytest.raises(ValueError, match="divide"):
+        BatchScheduler(model, params, "mamba", prompt_len=PROMPT_LEN,
+                       slots=6, mesh=mesh)
+    with pytest.raises(ValueError, match="GSPMD"):
+        BatchScheduler(model, params, "mamba", prompt_len=PROMPT_LEN,
+                       slots=8, mesh=mesh, fused=True)
+
+
 def test_fused_chunk_matches_oneshot(setup):
     """The fused-kernel chunk path (interpret mode on CPU) must produce the
     same greedy streams as the XLA path — this pins the model-format <->
