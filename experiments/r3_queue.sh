@@ -1,0 +1,65 @@
+#!/bin/bash
+# Round-3 TPU work queue (run in background once the axon tunnel is up).
+# Sequential; each stage logs to experiments/out_gen/*.log and failures do
+# not abort later stages. VERDICT r2 asks covered: #2 (generalizing
+# convergence run with val curves + fidelity with n>=20/band), #4 (MFU
+# batch sweep), #5 (diffusion end-to-end on chip), plus a bench.py refresh.
+set -u
+cd /root/repo
+OUT=experiments/out_gen
+mkdir -p $OUT
+PY=/opt/venv/bin/python
+
+stage() { echo "=== STAGE $1 $(date -u +%H:%M:%S) ===" | tee -a $OUT/queue.log; }
+
+# Clear artifacts of the tunnel-killed 2026-08-17 run (kept: np/ corpus).
+rm -rf $OUT/ckpt $OUT/training_log_*.json $OUT/summary.json
+
+stage "convergence mamba + classifier (augmented, val curves)"
+timeout 14400 $PY experiments/convergence.py --out $OUT \
+    --epochs 300 --block-len 1024 --models mamba \
+    --augmentation --classifier-epochs 150 \
+    > $OUT/convergence_mamba.log 2>&1
+echo "rc=$?" | tee -a $OUT/queue.log
+
+stage "fidelity mamba per-band 20"
+timeout 7200 $PY experiments/fidelity.py --out $OUT \
+    --model mamba --per-band 20 --length 2000 \
+    > $OUT/fidelity_mamba.log 2>&1
+echo "rc=$?" | tee -a $OUT/queue.log
+
+stage "diffusion e2e"
+timeout 7200 $PY experiments/diffusion_e2e.py \
+    > experiments/out/diffusion_e2e.log 2>&1
+echo "rc=$?" | tee -a $OUT/queue.log
+
+stage "bench_train MFU sweep"
+timeout 7200 $PY experiments/bench_train.py --batch 2,8,16,32 \
+    > $OUT/bench_train_sweep.log 2>&1
+echo "rc=$?" | tee -a $OUT/queue.log
+
+stage "serve scheduler: transformer + xlstm"
+timeout 7200 $PY experiments/bench_serve_sched.py --model transformer \
+    > $OUT/serve_transformer.log 2>&1
+echo "rc=$?" | tee -a $OUT/queue.log
+timeout 7200 $PY experiments/bench_serve_sched.py --model xlstm \
+    > $OUT/serve_xlstm.log 2>&1
+echo "rc=$?" | tee -a $OUT/queue.log
+
+stage "transformer train-step breakdown"
+timeout 3600 $PY experiments/profile_train.py --model transformer \
+    > $OUT/profile_transformer.log 2>&1
+echo "rc=$?" | tee -a $OUT/queue.log
+
+stage "convergence transformer + xlstm (augmented)"
+timeout 21600 $PY experiments/convergence.py --out $OUT \
+    --epochs 300 --block-len 1024 --models transformer xlstm \
+    --augmentation \
+    > $OUT/convergence_tx.log 2>&1
+echo "rc=$?" | tee -a $OUT/queue.log
+
+stage "bench.py headline"
+timeout 3600 $PY bench.py > $OUT/bench_headline.log 2>&1
+echo "rc=$?" | tee -a $OUT/queue.log
+
+stage "DONE"

@@ -38,6 +38,10 @@ def main() -> None:
     p.add_argument("--augmentation", action="store_true")
     p.add_argument("--parallel", action="store_true", help="mesh-sharded SPMD")
     p.add_argument("--tp", type=int, default=1, help="model-axis size (with --parallel)")
+    p.add_argument("--sp", type=int, default=0,
+                   help="sequence-parallel long-context training: shard the "
+                        "TIME axis of the mamba step over this many devices "
+                        "(block_len + 6 must divide it; parallel/sp_train.py)")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed for a TPU pod (replaces "
                         "the reference's torchrun launcher, README.md:26-29)")
@@ -93,7 +97,43 @@ def main() -> None:
         state = T.load_checkpoint(args.resume, template)
         params = state.params
 
-    if args.parallel:
+    if args.sp > 1:
+        if args.model != "mamba":
+            raise SystemExit("--sp implements the mamba step only")
+        import numpy as _np
+        from jax.sharding import Mesh as _Mesh
+
+        from ..parallel.sp_train import make_sp_train_step
+
+        sp_mesh = _Mesh(_np.asarray(jax.devices()[: args.sp]), ("sp",))
+        optimizer = T.make_optimizer(values)
+        step_fn = make_sp_train_step(model, optimizer, sp_mesh)
+        logger = T.JsonLogger(log_path)
+        logger.message(f"Training started! sp={args.sp} (time-sharded)")
+        state = T.TrainState(params, optimizer.init(params), 0)
+        try:
+            for epoch in range(values.epochs):
+                for src, trg, meta in train_iter:
+                    state.params, state.opt_state, loss = step_fn(
+                        state.params, state.opt_state,
+                        jnp.asarray(src), jnp.asarray(trg), jnp.asarray(meta),
+                    )
+                    state.step += 1
+                    if state.step % values.eval_interval == 0:
+                        logger.step(state.step, float(loss))
+                logger.message(
+                    f"Epoch [{epoch+1}/{values.epochs}], Average Loss: "
+                    f"{float(loss):.4f}"
+                )
+                if (epoch + 1) % values.save_interval == 0:
+                    T.save_checkpoint(ckpt_dir, state, float(loss))
+                    logger.flush()
+        except KeyboardInterrupt:
+            logger.message("Interrupted!")
+        finally:
+            T.save_checkpoint(ckpt_dir, state, 0.0)
+            logger.flush()
+    elif args.parallel:
         mesh = make_mesh(MeshConfig(model=args.tp))
         params, opt_state, step_fn = build_distributed_training(model, params, mesh, values)
         logger = T.JsonLogger(log_path)
