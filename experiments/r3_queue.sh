@@ -46,6 +46,15 @@ timeout 7200 $PY experiments/bench_serve_sched.py --model xlstm \
     > $OUT/serve_xlstm.log 2>&1
 echo "rc=$?" | tee -a $OUT/queue.log
 
+stage "serve CLI (mixed-length request list on the trained mamba)"
+timeout 7200 $PY -m musicgen_tpu.cli.serve --model mamba \
+    --ckpt "$(ls -d experiments/out/ckpt/mamba/loss_* | tail -1)" \
+    --data experiments/out/np/midi --metadata experiments/out/metadata.json \
+    --requests '[{"composer":"Bach","length":2000},{"composer":"Mozart","length":500},{"composer":"Chopin","length":1000},{"composer":"Beethoven","length":250},{"composer":"Bach","length":1500},{"composer":"Mozart","length":750},{"composer":"Chopin","length":2000},{"composer":"Beethoven","length":400}]' \
+    --output experiments/out/serve/cli --stats experiments/out/serve/cli_stats.json \
+    > $OUT/serve_cli.log 2>&1
+echo "rc=$?" | tee -a $OUT/queue.log
+
 stage "transformer train-step breakdown"
 timeout 3600 $PY experiments/profile_train.py --model transformer \
     > $OUT/profile_transformer.log 2>&1
@@ -56,6 +65,11 @@ timeout 21600 $PY experiments/convergence.py --out $OUT \
     --epochs 300 --block-len 1024 --models transformer xlstm \
     --augmentation \
     > $OUT/convergence_tx.log 2>&1
+echo "rc=$?" | tee -a $OUT/queue.log
+
+stage "windowed parity xlstm"
+timeout 7200 $PY experiments/windowed_parity.py --models xlstm \
+    > $OUT/windowed_xlstm.log 2>&1
 echo "rc=$?" | tee -a $OUT/queue.log
 
 stage "bench.py headline"

@@ -42,6 +42,11 @@ def load(kind):
     if kind == "mamba":
         cfg = MambaConfig(ssd_impl="pallas")
         model = MambaLM(cfg)
+    elif kind == "xlstm":
+        from musicgen_tpu.config import XLSTMConfig
+        from musicgen_tpu.models.xlstm import XLSTMLM
+
+        model = XLSTMLM(XLSTMConfig())
     else:
         cfg = TransformerConfig()
         model = TransformerLM(cfg)
@@ -98,7 +103,7 @@ def teacher_forced_choices(model, params, kind, prompt, meta, stream, window):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--models", default="mamba,transformer")
+    ap.add_argument("--models", default="mamba,transformer,xlstm")
     ap.add_argument("--tokens", type=int, default=TOKENS)
     args = ap.parse_args()
 

@@ -46,6 +46,7 @@ batch composition.
 from __future__ import annotations
 
 import functools
+import time
 from collections import deque
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
@@ -77,6 +78,11 @@ class Request:
     seed: int = 0
     rid: int = -1
     tokens: List[int] = field(default_factory=list)
+    # Serving latency accounting (host wall clock; filled by the scheduler).
+    t_submit: float = 0.0
+    t_admit: float = 0.0
+    t_first: float = 0.0  # first chunk containing this request's tokens
+    t_done: float = 0.0
 
 
 class BatchScheduler:
@@ -198,6 +204,7 @@ class BatchScheduler:
             self._step = _t_step
         self._queue: deque[Request] = deque()
         self._active: Dict[int, Request] = {}  # slot -> request
+        self._requests: Dict[int, Request] = {}  # rid -> request (all)
         self._remaining = np.zeros(slots, np.int64)
         self._next_rid = 0
         self._state = None  # stacked slot state (built lazily)
@@ -214,8 +221,10 @@ class BatchScheduler:
             )
         req = Request(prompt, np.asarray(meta, np.int32), int(num_tokens),
                       seed=seed, rid=self._next_rid)
+        req.t_submit = time.perf_counter()
         self._next_rid += 1
         self._queue.append(req)
+        self._requests[req.rid] = req
         return req.rid
 
     def run(self) -> Dict[int, np.ndarray]:
@@ -224,14 +233,34 @@ class BatchScheduler:
         self._admit_all()
         while self._active:
             tokens = self._run_chunk()  # (S, chunk) int32, host
+            now = time.perf_counter()
             for s, req in list(self._active.items()):
+                if not req.tokens:
+                    req.t_first = now
                 take = min(self.chunk, req.num_tokens - len(req.tokens))
                 req.tokens.extend(int(t) for t in tokens[s, :take])
                 if len(req.tokens) >= req.num_tokens:
+                    req.t_done = now
                     done[req.rid] = np.asarray(req.tokens, np.int32)
                     del self._active[s]
             self._admit_all()
         return done
+
+    def stats(self) -> Dict[int, Dict[str, float]]:
+        """Per-request serving latency: queue wait, time-to-first-chunk,
+        total wall, effective tok/s (completed requests only)."""
+        out = {}
+        for rid, r in self._requests.items():
+            if not r.t_done:
+                continue
+            out[rid] = {
+                "queue_wait_s": r.t_admit - r.t_submit,
+                "ttfc_s": r.t_first - r.t_submit,
+                "wall_s": r.t_done - r.t_submit,
+                "tokens": float(r.num_tokens),
+                "tok_per_s": r.num_tokens / max(r.t_done - r.t_admit, 1e-9),
+            }
+        return out
 
     # -- internals ----------------------------------------------------------
 
@@ -365,6 +394,7 @@ class BatchScheduler:
             if not self._queue:
                 break
             req = self._queue.popleft()
+            req.t_admit = time.perf_counter()
             prompt = jnp.asarray(req.prompt)[None]
             meta = jnp.asarray(req.meta)[None]
             logits, mstate = self._jit_prefill(self.params, prompt, meta)

@@ -185,6 +185,24 @@ def test_transformer_stochastic_composition_independent(tsetup):
     np.testing.assert_array_equal(solo[1], crowd[1])
 
 
+def test_latency_stats_accounting(setup):
+    """stats() reports every completed request with sane orderings:
+    submit <= admit <= first chunk <= done."""
+    model, params, prompts, metas = setup
+    sched = BatchScheduler(
+        model, params, "mamba", prompt_len=PROMPT_LEN, slots=1, chunk=4,
+        greedy=True, block_len=PROMPT_LEN,
+    )
+    ids = [sched.submit(prompts[i], metas[i], 5) for i in range(2)]
+    sched.run()
+    st = sched.stats()
+    assert sorted(st) == sorted(ids)
+    for rid in ids:
+        s = st[rid]
+        assert 0.0 <= s["queue_wait_s"] <= s["ttfc_s"] <= s["wall_s"]
+        assert s["tokens"] == 5.0 and s["tok_per_s"] > 0
+
+
 def test_mesh_sharded_scheduler_matches_single_device(setup):
     """Distributed serving: the slot pool sharded over an 8-device 'data'
     mesh must produce bit-identical streams to the single-device scheduler
