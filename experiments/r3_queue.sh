@@ -67,6 +67,10 @@ timeout 21600 $PY experiments/convergence.py --out $OUT \
     > $OUT/convergence_tx.log 2>&1
 echo "rc=$?" | tee -a $OUT/queue.log
 
+stage "memory probe (remat / loss-chunk fit boundary)"
+timeout 7200 $PY experiments/mem_probe.py > $OUT/mem_probe.log 2>&1
+echo "rc=$?" | tee -a $OUT/queue.log
+
 stage "windowed parity xlstm"
 timeout 7200 $PY experiments/windowed_parity.py --models xlstm \
     > $OUT/windowed_xlstm.log 2>&1

@@ -10,6 +10,15 @@ NB: XLA_FLAGS must be set BEFORE jax initializes a backend — a later
 clear_backends does not reliably re-read the device-count flag (a 1-device
 "mesh" then silently yields full-size "sharded" numbers; measured).
 
+NB2: the remat/loss-chunk rows UNDERSTATE those modes on TPU. The CPU
+scheduler does not reschedule rematerialized computation for liveness
+(remat shows +22% flops here but ~no temp change; one mixer's backward is
+1.18 GiB and the un-chunked loss only ~1.2 GiB of the 11 GiB, the rest
+being the 10 layers' saved residuals that remat eliminates only under a
+memory-aware scheduler). experiments/mem_probe.py measures the REAL fit
+boundary on the chip. The SP rows ARE structural (sharded shapes) and
+transfer directly.
+
 Run: python experiments/sp_memory.py [--shards 8] [--blocks 2042,8186,32762]
 (block + 6 must divide shards; defaults give streams 2048/8192/32768)
 """
@@ -80,6 +89,27 @@ def main():
             lambda p: filtered_cross_entropy(src, model.apply(p, src, meta), trg)
         )).lower(params)
         t_single = report(f"block {blk:6d} single-device grad", single)
+
+        import dataclasses
+
+        from musicgen_tpu.train.loss import chunked_filtered_cross_entropy
+
+        def chunked(m):
+            def loss(p):
+                hid = m.apply(p, src, meta, method="hidden")
+                head = p["params"]["lm_head"]
+                return chunked_filtered_cross_entropy(
+                    src, hid, head["kernel"], head["bias"], trg,
+                    cfg.vocab_size, chunk=256,
+                )
+            return loss
+
+        ck = jax.jit(jax.grad(chunked(model))).lower(params)
+        report(f"block {blk:6d} single + loss-chunk ", ck)
+
+        rmodel = MambaLM(dataclasses.replace(cfg, remat=True))
+        both = jax.jit(jax.grad(chunked(rmodel))).lower(params)
+        report(f"block {blk:6d} single + chunk+remat", both)
 
         sp = jax.jit(jax.grad(
             lambda p: sp_loss(p, src, trg, meta, cfg, mesh, chunk=256)

@@ -48,6 +48,15 @@ def main() -> None:
     p.add_argument("--bf16", action="store_true",
                    help="bf16 compute (fp32 params/loss; ~2x transformer "
                         "training, BENCHMARKS.md)")
+    p.add_argument("--remat", action="store_true",
+                   help="gradient checkpointing: recompute each layer in "
+                        "the backward pass (O(n_layers) less activation "
+                        "HBM; enables longer blocks / bigger batch)")
+    p.add_argument("--loss-chunk", type=int, default=0,
+                   help="compute the grammar-filtered CE in time chunks of "
+                        "this size so the (B, T, 17914) logits never "
+                        "materialize (~10x less loss memory at block 2048; "
+                        "identical loss/grads)")
     p.add_argument("--attention", choices=["auto", "xla", "flash"],
                    default="auto",
                    help="transformer attention path: flash = fused Pallas "
@@ -60,14 +69,18 @@ def main() -> None:
         jax.distributed.initialize()
 
     cfg = DEFAULT_CONFIG
+    import dataclasses as _dc
+
     if args.model == "transformer":
         impl = args.attention
         if impl == "auto":
             impl = "flash" if jax.default_backend() != "cpu" else "xla"
-        import dataclasses as _dc
-
         cfg = _dc.replace(cfg, transformer=_dc.replace(
             cfg.transformer, attention_impl=impl))
+    if args.remat:
+        cfg = _dc.replace(cfg, **{
+            args.model: _dc.replace(getattr(cfg, args.model), remat=True)
+        })
     values = TrainValues(
         block_len=args.block_len or cfg.values.block_len,
         batch_size=args.batch_size or cfg.values.batch_size,
@@ -167,6 +180,7 @@ def main() -> None:
         T.train_lm(
             model, params, train_iter, test_iter, values,
             ckpt_dir=ckpt_dir, log_path=log_path, seed=args.seed,
+            loss_chunk=args.loss_chunk,
         )
 
 

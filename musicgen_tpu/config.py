@@ -160,6 +160,8 @@ class TransformerConfig:
     # Pallas fwd + custom-VJP bwd, 3.7x XLA at training shapes), or
     # 'torch_exact' (bit-parity mode for the cross-framework harness).
     attention_impl: str = "auto"
+    # Rematerialize each Block in the backward pass (jax.checkpoint).
+    remat: bool = False
 
     @property
     def seq_len(self) -> int:  # meta prefix + tokens
@@ -194,6 +196,9 @@ class MambaConfig:
     # Reference quirk (models/mamba/mamba.py:32-33): layers are stacked with
     # NO inter-layer residual connections. Keep False for fidelity.
     residual: bool = False
+    # Rematerialize each mixer in the backward pass (jax.checkpoint): trades
+    # ~1 extra forward of FLOPs for O(n_layers) less activation HBM.
+    remat: bool = False
 
     @property
     def d_inner(self) -> int:
@@ -235,6 +240,8 @@ class XLSTMConfig:
     # (forward-only batched kernel, kept as opt-in infrastructure), or
     # 'auto' (currently = xla).
     slstm_impl: str = "xla"
+    # Rematerialize each block in the backward pass (jax.checkpoint).
+    remat: bool = False
 
     @property
     def padded_vocab(self) -> int:

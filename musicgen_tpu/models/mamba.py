@@ -220,23 +220,38 @@ class MambaLM(nn.Module):
         self.metadata_embedding = nn.Embed(
             c.metadata_vocab_size, c.d_model, dtype=self.dtype
         )
+        # remat: recompute each mixer's internals in the backward pass —
+        # O(n_layers) less activation HBM for ~1 extra forward of FLOPs
+        # (jax.checkpoint; complements --sp which shards the time axis).
+        mixer = (
+            nn.remat(Mamba2Mixer)
+            if getattr(c, "remat", False) else Mamba2Mixer
+        )
         self.layers = [
-            Mamba2Mixer(c, dtype=self.dtype, name=f"layer_{i}")
+            mixer(c, dtype=self.dtype, name=f"layer_{i}")
             for i in range(c.n_layers)
         ]
         self.norm = nn.LayerNorm(dtype=self.dtype)
         self.lm_head = nn.Dense(c.padded_vocab, dtype=jnp.float32, name="lm_head")
 
     def __call__(self, tokens: jax.Array, meta: jax.Array, deterministic: bool = True):
+        x = self.hidden(tokens, meta)
+        logits = self.lm_head(x.astype(jnp.float32))[..., : self.cfg.vocab_size]
+        return logits[:, meta.shape[1] :]
+
+    def hidden(
+        self, tokens: jax.Array, meta: jax.Array, deterministic: bool = True
+    ) -> jax.Array:
+        """Final-norm hidden states (B, meta+T, d_model) — the lm_head input
+        (train.loss.chunked_filtered_cross_entropy recomputes the head per
+        time chunk from these instead of materializing (B, T, V) logits)."""
         x = jnp.concatenate(
             [self.metadata_embedding(meta), self.token_embedding(tokens)], axis=1
         )
         for layer in self.layers:
             # Reference quirk: NO residual between layers (mamba.py:32-33).
             x = layer(x) if not self.cfg.residual else x + layer(x)
-        x = self.norm(x)
-        logits = self.lm_head(x.astype(jnp.float32))[..., : self.cfg.vocab_size]
-        return logits[:, meta.shape[1] :]
+        return self.norm(x)
 
     def prefill(self, tokens: jax.Array, meta: jax.Array):
         x = jnp.concatenate(

@@ -210,8 +210,14 @@ class TransformerLM(nn.Module):
         self.metadata_embedding = nn.Embed(
             c.metadata_vocab_size, c.n_embd, dtype=self.dtype
         )
+        # remat: recompute each Block in the backward pass (jax.checkpoint);
+        # deterministic is a static arg (self=0, x=1, deterministic=2).
+        block = (
+            nn.remat(Block, static_argnums=(2,))
+            if getattr(c, "remat", False) else Block
+        )
         self.blocks = [
-            Block(c, dtype=self.dtype, name=f"block_{i}") for i in range(c.n_layer)
+            block(c, dtype=self.dtype, name=f"block_{i}") for i in range(c.n_layer)
         ]
         self.ln_f = nn.LayerNorm(dtype=self.dtype)
         self.lm_head = nn.Dense(c.padded_vocab, dtype=jnp.float32, name="lm_head")
@@ -221,14 +227,20 @@ class TransformerLM(nn.Module):
     ) -> jax.Array:
         """tokens: (B, T) int32, meta: (B, 6) int32 -> logits (B, T, vocab)."""
         t = tokens.shape[1]
+        x = self.hidden(tokens, meta, deterministic)
+        logits = self.lm_head(x.astype(jnp.float32))[..., : self.cfg.vocab_size]
+        return logits[:, -t:, :]  # drop meta positions (reference :164)
+
+    def hidden(
+        self, tokens: jax.Array, meta: jax.Array, deterministic: bool = True
+    ) -> jax.Array:
+        """Final-LN hidden states (B, meta+T, n_embd) — the lm_head input."""
         x = self.token_embedding(tokens)
         m = self.metadata_embedding(meta)
         x = jnp.concatenate([m, x], axis=1)  # meta prefix (reference :155)
         for block in self.blocks:
-            x = block(x, deterministic=deterministic)
-        x = self.ln_f(x)
-        logits = self.lm_head(x.astype(jnp.float32))[..., : self.cfg.vocab_size]
-        return logits[:, -t:, :]  # drop meta positions (reference :164)
+            x = block(x, deterministic)  # positional: remat static_argnums
+        return self.ln_f(x)
 
     def prefill(
         self, tokens: jax.Array, meta: jax.Array

@@ -352,11 +352,16 @@ class XLSTMStack(nn.Module):
     mlstm_proj_factor: float = 2.0
     slstm_ff_proj_factor: float = 1.3
     slstm_impl: str = "xla"
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
+        # remat: recompute each block in the backward pass (jax.checkpoint).
+        block_cls = (
+            nn.remat(XLSTMBlock) if self.remat else XLSTMBlock
+        )
         self.blocks = [
-            XLSTMBlock(
+            block_cls(
                 self.d_model, self.num_heads, self.conv_kernel, self.qkv_blocksize,
                 is_slstm=(i in self.slstm_at), block_idx=i,
                 num_blocks=self.num_blocks,
@@ -405,17 +410,24 @@ class XLSTMLM(nn.Module):
             c.embedding_dim, c.num_blocks, c.slstm_at, c.num_heads,
             c.conv1d_kernel_size, c.qkv_proj_blocksize,
             c.mlstm_proj_factor, c.slstm_ff_proj_factor,
-            slstm_impl=getattr(c, "slstm_impl", "xla"), dtype=self.dtype,
+            slstm_impl=getattr(c, "slstm_impl", "xla"),
+            remat=getattr(c, "remat", False), dtype=self.dtype,
         )
         self.lm_head = nn.Dense(c.padded_vocab, dtype=jnp.float32, name="lm_head")
 
     def __call__(self, tokens: jax.Array, meta: jax.Array, deterministic: bool = True):
+        x = self.hidden(tokens, meta)
+        logits = self.lm_head(x.astype(jnp.float32))[..., : self.cfg.vocab_size]
+        return logits[:, meta.shape[1] :]
+
+    def hidden(
+        self, tokens: jax.Array, meta: jax.Array, deterministic: bool = True
+    ) -> jax.Array:
+        """Post-norm hidden states (B, meta+T, dim) — the lm_head input."""
         x = jnp.concatenate(
             [self.metadata_embedding(meta), self.token_embedding(tokens)], axis=1
         )
-        x = self.stack(x)
-        logits = self.lm_head(x.astype(jnp.float32))[..., : self.cfg.vocab_size]
-        return logits[:, meta.shape[1] :]
+        return self.stack(x)
 
     def prefill(self, tokens: jax.Array, meta: jax.Array):
         x = jnp.concatenate(

@@ -32,6 +32,67 @@ def filtered_cross_entropy(
     return jnp.mean(nll)
 
 
+def chunked_filtered_cross_entropy(
+    prev_tokens: jax.Array,  # (B, T) the model INPUT tokens
+    hidden: jax.Array,  # (B, meta+T, D) final-norm hidden (model.hidden())
+    head_kernel: jax.Array,  # (D, padded_vocab)
+    head_bias: jax.Array,  # (padded_vocab,)
+    targets: jax.Array,  # (B, T)
+    vocab_size: int,
+    chunk: int = 256,
+    layout: VocabLayout = VOCAB,
+) -> jax.Array:
+    """filtered_cross_entropy without ever materializing (B, T, V) logits.
+
+    The memory profile of the standard loss is dominated by the vocab-sized
+    intermediates (logits, grammar weights, log_softmax and their backward
+    buffers: ~10 GiB of the 11 GiB train-step temps at B2 T2048 fp32 —
+    experiments/sp_memory.py), NOT by layer activations (which is why plain
+    per-layer remat does not move the total). This computes the head matmul
+    + grammar filter + CE one time-chunk at a time inside a lax.scan with
+    jax.checkpoint, so the backward pass recomputes each chunk's logits:
+    peak vocab-sized memory drops from O(T) to O(chunk) at the cost of one
+    extra head-matmul forward (~5% of step FLOPs).
+
+    Exactly equals filtered_cross_entropy(src, model.apply(...), trg)
+    (same per-position math; tests/test_chunked_loss.py pins loss + grads).
+    """
+    b, t = prev_tokens.shape
+    n_meta = hidden.shape[1] - t
+    h = hidden[:, n_meta:, :]  # hidden rows whose logits score the targets
+    pad = (-t) % chunk
+    if pad:
+        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+        prev_tokens = jnp.pad(prev_tokens, ((0, 0), (0, pad)))
+        targets = jnp.pad(targets, ((0, 0), (0, pad)))
+    n = (t + pad) // chunk
+    mask = (jnp.arange(t + pad) < t).astype(jnp.float32).reshape(n, chunk)
+
+    chunks = lambda a, tail: a.reshape(b, n, chunk, *tail).swapaxes(0, 1)
+    xs = (
+        chunks(h, h.shape[2:]),  # (n, B, chunk, D)
+        chunks(prev_tokens, ()),  # (n, B, chunk)
+        chunks(targets, ()),
+        mask,  # (n, chunk)
+    )
+
+    def chunk_nll(hc, pc, tc, mc, hk, hb):
+        logits = (hc.astype(jnp.float32) @ hk + hb)[..., :vocab_size]
+        filt = filtered_logits(pc, logits, layout)
+        lp = jax.nn.log_softmax(filt, axis=-1)
+        nll = -jnp.take_along_axis(lp, tc[..., None], axis=-1)[..., 0]
+        return jnp.sum(nll * mc[None, :])
+
+    remat_nll = jax.checkpoint(chunk_nll)
+
+    def body(acc, x):
+        hc, pc, tc, mc = x
+        return acc + remat_nll(hc, pc, tc, mc, head_kernel, head_bias), None
+
+    total, _ = jax.lax.scan(body, jnp.float32(0.0), xs)
+    return total / (b * t)
+
+
 def make_meta_multihot(meta: jax.Array, metadata_vocab_size: int) -> jax.Array:
     """(B, 6) meta tokens -> (B, meta_vocab) multi-hot float targets
     (reference train_classifier.py:16-26 builds the per-sample unique set)."""

@@ -47,15 +47,34 @@ def make_lm_train_step(
     optimizer: optax.GradientTransformation,
     augmentation: bool = False,
     donate: bool = True,
+    loss_chunk: int = 0,
 ):
     """Returns jitted (params, opt_state, src, trg, meta, rng) -> (params,
-    opt_state, loss)."""
+    opt_state, loss).
 
-    def loss_fn(params, src, trg, meta, dropout_rng):
-        logits = model.apply(
-            params, src, meta, deterministic=False, rngs={"dropout": dropout_rng}
-        )
-        return filtered_cross_entropy(src, logits, trg)
+    loss_chunk > 0 switches to the chunked grammar-CE (the (B, T, V) logits
+    are never materialized; see train.loss.chunked_filtered_cross_entropy) —
+    identical loss/grads, O(T/chunk) less vocab-sized memory."""
+
+    if loss_chunk:
+        from .loss import chunked_filtered_cross_entropy
+
+        def loss_fn(params, src, trg, meta, dropout_rng):
+            hid = model.apply(
+                params, src, meta, deterministic=False,
+                rngs={"dropout": dropout_rng}, method="hidden",
+            )
+            head = params["params"]["lm_head"]
+            return chunked_filtered_cross_entropy(
+                src, hid, head["kernel"], head["bias"], trg,
+                model.cfg.vocab_size, chunk=loss_chunk,
+            )
+    else:
+        def loss_fn(params, src, trg, meta, dropout_rng):
+            logits = model.apply(
+                params, src, meta, deterministic=False, rngs={"dropout": dropout_rng}
+            )
+            return filtered_cross_entropy(src, logits, trg)
 
     def step(params, opt_state, src, trg, meta, rng):
         aug_rng, dropout_rng = jax.random.split(rng)
@@ -203,6 +222,7 @@ def train_lm(
     log_path: Optional[str] = None,
     num_epochs: Optional[int] = None,
     seed: int = 0,
+    loss_chunk: int = 0,
 ) -> TrainState:
     """Single-process training driver (reference train.py:140-217 shape:
     epoch loop, eval on the test split per epoch, checkpoint + log flush
@@ -210,7 +230,9 @@ def train_lm(
     optimizer = make_optimizer(values)
     opt_state = optimizer.init(params)
     state = TrainState(params, opt_state, 0)
-    train_step = make_lm_train_step(model, optimizer, values.augmentation)
+    train_step = make_lm_train_step(
+        model, optimizer, values.augmentation, loss_chunk=loss_chunk
+    )
     eval_step = make_lm_eval_step(model)
     logger = JsonLogger(log_path)
     rng = jax.random.PRNGKey(seed)
