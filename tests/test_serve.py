@@ -185,6 +185,65 @@ def test_transformer_stochastic_composition_independent(tsetup):
     np.testing.assert_array_equal(solo[1], crowd[1])
 
 
+def test_xlstm_greedy_matches_oneshot():
+    """xLSTM serving: position-independent step, mixed lengths."""
+    from musicgen_tpu.config import XLSTMConfig
+    from musicgen_tpu.models.xlstm import XLSTMLM
+
+    model = XLSTMLM(XLSTMConfig(
+        embedding_dim=32, num_blocks=2, slstm_at=(1,), num_heads=4,
+        context_length=PROMPT_LEN + NUM_META, vocab_size=VOCAB.vocab_size,
+        metadata_vocab_size=9,
+    ))
+    rng = np.random.default_rng(2)
+    prompts = [_prompt(rng) for _ in range(3)]
+    metas = [np.asarray(rng.integers(0, 9, (NUM_META,)), np.int32)
+             for _ in range(3)]
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(prompts[0])[None], jnp.asarray(metas[0])[None],
+    )
+    sched = BatchScheduler(
+        model, params, "xlstm", prompt_len=PROMPT_LEN, slots=2, chunk=4,
+        greedy=True, block_len=PROMPT_LEN,
+    )
+    lengths = [6, 9, 3]
+    ids = [sched.submit(prompts[i], metas[i], lengths[i]) for i in range(3)]
+    res = sched.run()
+    for i, rid in enumerate(ids):
+        want = generate(
+            model, params, "xlstm",
+            jnp.asarray(prompts[i])[None], jnp.asarray(metas[i])[None],
+            lengths[i], PROMPT_LEN, jax.random.PRNGKey(0), greedy=True,
+            fused=False,
+        )
+        np.testing.assert_array_equal(
+            res[rid], np.asarray(want)[0, PROMPT_LEN:],
+            err_msg=f"xlstm request {i} diverged",
+        )
+
+
+def test_transformer_mesh_sharded_matches(tsetup):
+    """The batched ring-KV geometry step must also shard over the 'data'
+    mesh (per-row ages/slots are batch-leading like everything else)."""
+    from musicgen_tpu.config import MeshConfig
+    from musicgen_tpu.parallel.mesh import make_mesh
+
+    model, params, prompts, metas = tsetup
+    mesh = make_mesh(MeshConfig(data=8, model=1), jax.devices()[:8])
+    kw = dict(prompt_len=PROMPT_LEN, chunk=4, greedy=True,
+              block_len=PROMPT_LEN)
+    dist = BatchScheduler(model, params, "transformer", slots=8, mesh=mesh,
+                          **kw)
+    ids = [dist.submit(prompts[i], metas[i], 5) for i in range(3)]
+    res = dist.run()
+    for i, rid in enumerate(ids):
+        want = _t_oracle(model, params, prompts[i], metas[i], 5)
+        np.testing.assert_array_equal(
+            res[rid], want, err_msg=f"mesh transformer request {i} diverged"
+        )
+
+
 def test_latency_stats_accounting(setup):
     """stats() reports every completed request with sane orderings:
     submit <= admit <= first chunk <= done."""
