@@ -148,7 +148,9 @@ def main() -> None:
             logger.flush()
     elif args.parallel:
         mesh = make_mesh(MeshConfig(model=args.tp))
-        params, opt_state, step_fn = build_distributed_training(model, params, mesh, values)
+        params, opt_state, step_fn = build_distributed_training(
+            model, params, mesh, values, loss_chunk=args.loss_chunk
+        )
         logger = T.JsonLogger(log_path)
         logger.message(f"Training started! mesh={dict(mesh.shape)}")
         state = T.TrainState(params, opt_state, 0)

@@ -41,6 +41,7 @@ def make_distributed_train_step(
     mesh: Mesh,
     params_template: Any,
     kind: str = "lm",
+    loss_chunk: int = 0,
 ):
     """Jitted SPMD train step with explicit in/out shardings.
 
@@ -49,6 +50,8 @@ def make_distributed_train_step(
     DDP; any generator's step runs on any mesh here).
     kind='classifier' — multi-label BCE; meta is the multi-hot target
     source, trg is ignored (reference train_classifier.py:84-88).
+    loss_chunk > 0 uses the chunked grammar-CE (loss.py) — identical
+    loss/grads, no (B, T, V) logits materialized per device.
     """
     pspec = param_shardings(params_template, mesh)
     bspec = batch_sharding(mesh)
@@ -57,6 +60,16 @@ def make_distributed_train_step(
     if kind == "classifier":
         def loss_fn(params, src, trg, meta):
             return classifier_bce(model.apply(params, src), meta)
+    elif loss_chunk:
+        from .loss import chunked_filtered_cross_entropy
+
+        def loss_fn(params, src, trg, meta):
+            hid = model.apply(params, src, meta, method="hidden")
+            head = params["params"]["lm_head"]
+            return chunked_filtered_cross_entropy(
+                src, hid, head["kernel"], head["bias"], trg,
+                model.cfg.vocab_size, chunk=loss_chunk,
+            )
     else:
         def loss_fn(params, src, trg, meta):
             logits = model.apply(params, src, meta)
@@ -85,10 +98,13 @@ def build_distributed_training(
     mesh: Mesh,
     values: TrainValues = TrainValues(),
     kind: str = "lm",
+    loss_chunk: int = 0,
 ):
     """Convenience: returns (sharded_params, sharded_opt_state, step_fn)."""
     optimizer = make_optimizer(values)
     opt_state = optimizer.init(params)
-    step_fn = make_distributed_train_step(model, optimizer, mesh, params, kind=kind)
+    step_fn = make_distributed_train_step(
+        model, optimizer, mesh, params, kind=kind, loss_chunk=loss_chunk
+    )
     params, opt_state = shard_train_state(params, opt_state, mesh)
     return params, opt_state, step_fn
