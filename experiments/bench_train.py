@@ -25,9 +25,14 @@ def make_batch(b):
     return tokens[:, :-1], tokens[:, 1:], meta
 
 
-def bench(kind, dtype, batch, reps=6):
+def bench(kind, dtype, batch, reps=6, remat=False, loss_chunk=0):
     src, trg, meta = make_batch(batch)
-    model = new_model(kind, DEFAULT_CONFIG, dtype=dtype)
+    cfg = DEFAULT_CONFIG
+    if remat:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, **{
+            kind: dataclasses.replace(getattr(cfg, kind), remat=True)})
+    model = new_model(kind, cfg, dtype=dtype)
     if kind == "classifier":
         params = model.init(jax.random.PRNGKey(0), src[:, :16])
         opt = T.make_optimizer()
@@ -36,7 +41,8 @@ def bench(kind, dtype, batch, reps=6):
     else:
         params = model.init(jax.random.PRNGKey(0), src[:, :16], meta)
         opt = T.make_optimizer()
-        step = T.make_lm_train_step(model, opt, donate=False)
+        step = T.make_lm_train_step(model, opt, donate=False,
+                                    loss_chunk=loss_chunk)
         args0 = (params, opt.init(params), src, trg, meta, jax.random.PRNGKey(1))
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     out = step(*args0)
@@ -69,8 +75,12 @@ if __name__ == "__main__":
     args = ap.parse_args()
 
     if args.single:
-        kind, b = args.single.split(":")
-        bench(kind, jnp.bfloat16, int(b))
+        # kind:batch[:remat:loss_chunk]
+        parts = args.single.split(":")
+        kind, b = parts[0], int(parts[1])
+        remat = len(parts) > 2 and parts[2] == "1"
+        chunk = int(parts[3]) if len(parts) > 3 else 0
+        bench(kind, jnp.bfloat16, b, remat=remat, loss_chunk=chunk)
         sys.exit(0)
 
     kinds = args.models.split(",")

@@ -37,6 +37,11 @@ stage "bench_train MFU sweep"
 timeout 7200 $PY experiments/bench_train.py --batch 2,8,16,32 \
     > $OUT/bench_train_sweep.log 2>&1
 echo "rc=$?" | tee -a $OUT/queue.log
+# remat / loss-chunk speed impact at the fidelity shape + a big batch
+for spec in mamba:2:0:256 mamba:2:1:0 mamba:32:0:256 transformer:2:0:256; do
+  timeout 3600 $PY experiments/bench_train.py --single $spec \
+      >> $OUT/bench_train_sweep.log 2>&1
+done
 
 stage "serve scheduler: transformer + xlstm"
 timeout 7200 $PY experiments/bench_serve_sched.py --model transformer \
