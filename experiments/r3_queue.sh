@@ -1,9 +1,11 @@
 #!/bin/bash
 # Round-3 TPU work queue (run in background once the axon tunnel is up).
-# Sequential; each stage logs to experiments/out_gen/*.log and failures do
-# not abort later stages. VERDICT r2 asks covered: #2 (generalizing
-# convergence run with val curves + fidelity with n>=20/band), #4 (MFU
-# batch sweep), #5 (diffusion end-to-end on chip), plus a bench.py refresh.
+# Sequential, ordered by judge priority so a late tunnel recovery still
+# lands the critical stages; failures do not abort later stages.
+# VERDICT r2 asks covered: #2 (generalizing convergence run with val
+# curves + fidelity with n>=20/band), #4 (MFU batch sweep + step
+# breakdown), #5 (diffusion end-to-end on chip), plus serving benches and
+# a bench.py refresh.
 set -u
 cd /root/repo
 OUT=experiments/out_gen
@@ -28,11 +30,6 @@ timeout 7200 $PY experiments/fidelity.py --out $OUT \
     > $OUT/fidelity_mamba.log 2>&1
 echo "rc=$?" | tee -a $OUT/queue.log
 
-stage "diffusion e2e"
-timeout 7200 $PY experiments/diffusion_e2e.py \
-    > experiments/out/diffusion_e2e.log 2>&1
-echo "rc=$?" | tee -a $OUT/queue.log
-
 stage "bench_train MFU sweep"
 timeout 7200 $PY experiments/bench_train.py --batch 2,8,16,32 \
     > $OUT/bench_train_sweep.log 2>&1
@@ -42,6 +39,20 @@ for spec in mamba:2:0:256 mamba:2:1:0 mamba:32:0:256 transformer:2:0:256; do
   timeout 3600 $PY experiments/bench_train.py --single $spec \
       >> $OUT/bench_train_sweep.log 2>&1
 done
+
+stage "transformer train-step breakdown"
+timeout 3600 $PY experiments/profile_train.py --model transformer \
+    > $OUT/profile_transformer.log 2>&1
+echo "rc=$?" | tee -a $OUT/queue.log
+
+stage "diffusion e2e"
+timeout 7200 $PY experiments/diffusion_e2e.py \
+    > experiments/out/diffusion_e2e.log 2>&1
+echo "rc=$?" | tee -a $OUT/queue.log
+
+stage "memory probe (remat / loss-chunk fit boundary)"
+timeout 7200 $PY experiments/mem_probe.py > $OUT/mem_probe.log 2>&1
+echo "rc=$?" | tee -a $OUT/queue.log
 
 stage "serve scheduler: transformer + xlstm"
 timeout 7200 $PY experiments/bench_serve_sched.py --model transformer \
@@ -60,9 +71,9 @@ timeout 7200 $PY -m musicgen_tpu.cli.serve --model mamba \
     > $OUT/serve_cli.log 2>&1
 echo "rc=$?" | tee -a $OUT/queue.log
 
-stage "transformer train-step breakdown"
-timeout 3600 $PY experiments/profile_train.py --model transformer \
-    > $OUT/profile_transformer.log 2>&1
+stage "windowed parity xlstm"
+timeout 7200 $PY experiments/windowed_parity.py --models xlstm \
+    > $OUT/windowed_xlstm.log 2>&1
 echo "rc=$?" | tee -a $OUT/queue.log
 
 stage "convergence transformer + xlstm (augmented)"
@@ -70,15 +81,6 @@ timeout 21600 $PY experiments/convergence.py --out $OUT \
     --epochs 300 --block-len 1024 --models transformer xlstm \
     --augmentation \
     > $OUT/convergence_tx.log 2>&1
-echo "rc=$?" | tee -a $OUT/queue.log
-
-stage "memory probe (remat / loss-chunk fit boundary)"
-timeout 7200 $PY experiments/mem_probe.py > $OUT/mem_probe.log 2>&1
-echo "rc=$?" | tee -a $OUT/queue.log
-
-stage "windowed parity xlstm"
-timeout 7200 $PY experiments/windowed_parity.py --models xlstm \
-    > $OUT/windowed_xlstm.log 2>&1
 echo "rc=$?" | tee -a $OUT/queue.log
 
 stage "bench.py headline"
