@@ -41,7 +41,8 @@ def main() -> None:
     p.add_argument("--sp", type=int, default=0,
                    help="sequence-parallel long-context training: shard the "
                         "TIME axis of the mamba step over this many devices "
-                        "(block_len + 6 must divide it; parallel/sp_train.py)")
+                        "(block_len + 6 must divide it; fp32 compute; "
+                        "parallel/sp_train.py)")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed for a TPU pod (replaces "
                         "the reference's torchrun launcher, README.md:26-29)")
