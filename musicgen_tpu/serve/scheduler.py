@@ -156,19 +156,33 @@ class BatchScheduler:
         # _jit_chunk converts to the kernel's stacked layout at the chunk
         # edges, ~0.6 MB/step amortized against the 166 MB weight stream.
         if fused is None:
-            fused = (
-                jax.default_backend() != "cpu"
-                and kind == "mamba"
-                and not getattr(getattr(model, "cfg", None), "residual", False)
+            # Same auto policy as sample.generate: mamba's kernel wins on
+            # accelerators outright; the xLSTM kernel pays only when int8w
+            # halves the weight stream (its XLA step is ~96% of roofline at
+            # bf16 — BENCHMARKS.md).
+            accel = jax.default_backend() != "cpu"
+            fused = accel and (
+                (
+                    kind == "mamba"
+                    and not getattr(getattr(model, "cfg", None), "residual", False)
+                )
+                or (kind == "xlstm" and quant in ("int8", "int8w"))
             )
-        self._fused = fused and kind == "mamba"
+        self._fused = fused and kind in ("mamba", "xlstm")
         self.quant = quant
         self._fused_pack = None
-        if self._fused:
+        if self._fused and kind == "mamba":
             from ..ops.pallas_decode import build_decode_params
 
             self._fused_pack = build_decode_params(
                 params, model.cfg, slots, quant=quant
+            )
+        elif self._fused:
+            from ..ops.pallas_xlstm_decode import build_xlstm_decode_params
+
+            self._fused_pack = build_xlstm_decode_params(
+                params, model.cfg, slots,
+                quant="int8w" if quant in ("int8", "int8w") else "bf16",
             )
         self._prefill, self._step = make_sampler(model, kind, block_len)
         if kind == "transformer":
@@ -325,7 +339,8 @@ class BatchScheduler:
     @functools.cached_property
     def _jit_chunk(self):
         cfg, layout, step_fn = self.cfg, self.layout, self._step
-        if self._fused:
+        interp = jax.default_backend() == "cpu"
+        if self._fused and self.kind == "mamba":
             from ..ops.pallas_decode import (
                 DecodeDims,
                 fused_logits_step,
@@ -336,7 +351,6 @@ class BatchScheduler:
             mcfg = self.model.cfg
             dims = DecodeDims.create(mcfg, self.slots)
             qmode = "w8a16" if self.quant in ("int8", "int8w") else "w8a8"
-            interp = jax.default_backend() == "cpu"
 
             def step_fn(pack, token, mstate, si):
                 return fused_logits_step(
@@ -346,6 +360,27 @@ class BatchScheduler:
 
             to_kernel = lambda st: stack_states(st)
             from_kernel = lambda cv_ss: unstack_states(*cv_ss, dims)
+        elif self._fused:
+            from ..ops.pallas_xlstm_decode import (
+                XDims,
+                fused_xlstm_logits_step,
+                stack_xlstm_states,
+                unstack_xlstm_states,
+            )
+
+            xcfg = self.model.cfg
+            xdims = XDims.create(xcfg, self.slots)
+            slots = self.slots
+
+            def step_fn(pack, token, carry, si):
+                return fused_xlstm_logits_step(
+                    pack, token, carry, xcfg, xdims, interpret=interp
+                )
+
+            to_kernel = lambda st: stack_xlstm_states(st, xcfg, slots)
+            from_kernel = lambda packs: unstack_xlstm_states(
+                packs, xcfg, slots
+            )
         else:
             to_kernel = from_kernel = lambda st: st
 

@@ -303,6 +303,45 @@ def test_mesh_rejects_bad_config(setup):
                        slots=8, mesh=mesh, fused=True)
 
 
+def test_xlstm_fused_chunk_matches_oneshot():
+    """The xLSTM fused-kernel chunk path (interpret mode on CPU) must
+    produce the same greedy streams as the XLA path — pins the
+    stack/unstack state conversion at the chunk edges."""
+    from musicgen_tpu.config import XLSTMConfig
+    from musicgen_tpu.models.xlstm import XLSTMLM
+
+    cfg = XLSTMConfig(
+        embedding_dim=32, num_blocks=2, slstm_at=(1,), num_heads=4,
+        context_length=PROMPT_LEN + NUM_META, vocab_size=VOCAB.vocab_size,
+        metadata_vocab_size=9,
+    )
+    model = XLSTMLM(cfg)
+    rng = np.random.default_rng(5)
+    prompts = [_prompt(rng) for _ in range(2)]
+    metas = [np.asarray(rng.integers(0, 9, (NUM_META,)), np.int32)
+             for _ in range(2)]
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(prompts[0])[None], jnp.asarray(metas[0])[None],
+    )
+    sched = BatchScheduler(
+        model, params, "xlstm", prompt_len=PROMPT_LEN, slots=2, chunk=4,
+        greedy=True, block_len=PROMPT_LEN, fused=True,
+    )
+    ids = [sched.submit(prompts[i], metas[i], 6) for i in range(2)]
+    res = sched.run()
+    for i, rid in enumerate(ids):
+        want = generate(
+            model, params, "xlstm",
+            jnp.asarray(prompts[i])[None], jnp.asarray(metas[i])[None],
+            6, PROMPT_LEN, jax.random.PRNGKey(0), greedy=True, fused=False,
+        )
+        np.testing.assert_array_equal(
+            res[rid], np.asarray(want)[0, PROMPT_LEN:],
+            err_msg=f"xlstm fused request {i} diverged",
+        )
+
+
 def test_fused_chunk_matches_oneshot(setup):
     """The fused-kernel chunk path (interpret mode on CPU) must produce the
     same greedy streams as the XLA path — this pins the model-format <->
