@@ -42,6 +42,7 @@ def main():
         "--tokens", default="2000,500,1000,250,1500,750,2000,400,600,1200"
     )
     ap.add_argument("--prompt-len", type=int, default=2048)
+    ap.add_argument("--quant", default="bf16", choices=["bf16", "int8w", "int8"])
     args = ap.parse_args()
     lengths = [int(t) for t in args.tokens.split(",")]
 
@@ -69,6 +70,7 @@ def main():
     sched = BatchScheduler(
         model, params, args.model, prompt_len=args.prompt_len,
         slots=args.slots, chunk=args.chunk, block_len=2048,
+        quant=args.quant,
     )
     # Warm-up: compile prefill + chunk + insert programs outside the timed
     # region (the remote compiler costs minutes; steady-state serving is

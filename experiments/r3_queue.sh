@@ -61,6 +61,9 @@ echo "rc=$?" | tee -a $OUT/queue.log
 timeout 7200 $PY experiments/bench_serve_sched.py --model xlstm \
     > $OUT/serve_xlstm.log 2>&1
 echo "rc=$?" | tee -a $OUT/queue.log
+timeout 7200 $PY experiments/bench_serve_sched.py --model xlstm --quant int8w \
+    > $OUT/serve_xlstm_int8w.log 2>&1
+echo "rc=$?" | tee -a $OUT/queue.log
 
 stage "serve CLI (mixed-length request list on the trained mamba)"
 timeout 7200 $PY -m musicgen_tpu.cli.serve --model mamba \
