@@ -3,6 +3,10 @@
 Loads the convergence-run Mamba checkpoint and compares:
   1. greedy streams (mode='combined', greedy): XLA step vs fused bf16 vs int8
   2. per-step logits rel-diff + argmax agreement over 200 oracle-fed steps
+     — including the GPTQ-calibrated int8w pack (ops/gptq.py), which uses
+     corpus-calibrated Hessians to compensate rounding error.
+
+INT8_OUT=dir overrides the artifact root (default experiments/out_gen).
 """
 import sys, glob, os, json
 sys.path.insert(0, '/root/repo')
@@ -19,7 +23,7 @@ from musicgen_tpu.ops.pallas_decode import (
     DecodeDims, build_decode_params, fused_logits_step, stack_states,
 )
 
-OUT = "experiments/out"
+OUT = os.environ.get("INT8_OUT", "experiments/out_gen")
 ckpts = sorted(glob.glob(f"{OUT}/ckpt/mamba/loss_*"), key=os.path.getmtime)
 assert ckpts, "no mamba checkpoint yet"
 cfg = MambaConfig(ssd_impl="pallas")
@@ -72,10 +76,34 @@ print(json.dumps({
 dims = DecodeDims.create(cfg, batch)
 logits0, states = model.apply(params, prompt, meta, method=MambaLM.prefill)
 xstep = jax.jit(lambda p, t, s: model.apply(p, t, s, method=MambaLM.step))
+# GPTQ calibration: input second moments from eager train-geometry
+# forwards over a few corpus batches (ops/gptq.py).
+from musicgen_tpu.ops.gptq import collect_hessians, make_gptq_quantizer
+import time as _time
+
+calib_batches = []
+for c in range(4):
+    cidx = rng.integers(0, len(ds), batch)
+    cs = jnp.stack([jnp.asarray(ds[int(i)][0]) for i in cidx])
+    cm = jnp.stack([jnp.asarray(ds[int(i)][2]) for i in cidx])
+    calib_batches.append((cs[:, :512].astype(jnp.int32), cm))
+t0 = _time.perf_counter()
+hessians = collect_hessians(model, params, calib_batches)
+t1 = _time.perf_counter()
+gptq_quantizer = make_gptq_quantizer(hessians)
+print(f"gptq calibration: {len(calib_batches)} batches, "
+      f"{t1 - t0:.1f}s hessians", flush=True)
+
 stats = {}
-for name in ("bf16", "int8", "int8w"):
-    dp = build_decode_params(params, cfg, batch, quant=name)
-    qm = "w8a16" if name == "int8w" else "w8a8"
+for name in ("bf16", "int8", "int8w", "int8w-gptq"):
+    t0 = _time.perf_counter()
+    dp = build_decode_params(
+        params, cfg, batch, quant="int8w" if name == "int8w-gptq" else name,
+        quantizer=gptq_quantizer if name == "int8w-gptq" else None,
+    )
+    if name == "int8w-gptq":
+        print(f"gptq solve: {_time.perf_counter() - t0:.1f}s", flush=True)
+    qm = "w8a16" if name.startswith("int8w") else "w8a8"
     fstep = jax.jit(lambda dp, t, c, qm=qm: fused_logits_step(
         dp, t, c, cfg, dims, quant_mode=qm))
     carry = stack_states(states)

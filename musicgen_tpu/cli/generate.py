@@ -59,12 +59,15 @@ def main() -> None:
                         "length+300 tokens (testing variant decodes [800:])")
     p.add_argument("--fused-decode",
                    choices=["auto", "on", "off", "int8", "int8w",
-                            "resident", "resident-int8w"],
+                            "int8w-gptq", "resident", "resident-int8w"],
                    default="auto",
                    help="mamba fused multi-layer Pallas decode kernel "
                         "(auto: on for TPU; bf16-tolerance numerics). "
                         "int8w: weight-only int8, ~1.5x faster decode at "
-                        "~2x bf16 logit noise; int8: W8A8, fastest but "
+                        "~2x bf16 logit noise; int8w-gptq: int8w with "
+                        "GPTQ-calibrated weights (corpus Hessians, "
+                        "ops/gptq.py — lower noise, one-time solve); "
+                        "int8: W8A8, fastest but "
                         "noisy. resident[-int8w]: the ENTIRE token loop in "
                         "one kernel with VMEM-resident state "
                         "(ops/pallas_generate) — see BENCHMARKS.md)")
@@ -93,6 +96,40 @@ def main() -> None:
 
     block_len = args.block_len or cfg.values.block_len
     prompt_len = args.prompt_len or block_len
+
+    gptq_quantizer = None
+    if args.fused_decode == "int8w-gptq":
+        # One-time corpus calibration + GPTQ solve (memoized per matrix);
+        # the pack is built per batch size inside the band loop.
+        assert args.model in ("mamba", "xlstm"), \
+            "int8w-gptq packs exist for mamba and xlstm"
+        from ..ops.gptq import (
+            CALIB_SITES,
+            XLSTM_CALIB_SITES,
+            collect_hessians,
+            make_gptq_quantizer,
+        )
+
+        calib_ds = TokenDataset.from_directory(
+            args.data, args.metadata, block_len=512, crop="random"
+        )
+        crng = np.random.default_rng(args.seed)
+        batches = []
+        for _ in range(4):
+            cidx = crng.integers(0, len(calib_ds), 2)
+            cs = jnp.asarray(
+                np.stack([calib_ds[int(i)][0] for i in cidx]), jnp.int32
+            )
+            cm = jnp.asarray(
+                np.stack([calib_ds[int(i)][2] for i in cidx]), jnp.int32
+            )
+            batches.append((cs, cm))
+        print("calibrating GPTQ hessians on the corpus ...")
+        sites = CALIB_SITES if args.model == "mamba" else XLSTM_CALIB_SITES
+        gptq_quantizer = make_gptq_quantizer(
+            collect_hessians(model, params, batches, sites=sites)
+        )
+
     suffix = "_no_meta" if args.no_metadata else ""
     for band in bands:
         band_dir = os.path.join(args.data, band)
@@ -130,16 +167,29 @@ def main() -> None:
                 # the testing variant's exact truncation semantics)
                 src = src[:, -block_len:]
             fused = {"auto": None, "on": True, "off": False,
-                     "int8": True, "int8w": True,
+                     "int8": True, "int8w": True, "int8w-gptq": True,
                      "resident": True, "resident-int8w": True}[args.fused_decode]
-            quant = {"int8": "int8", "int8w": "int8w",
+            quant = {"int8": "int8", "int8w": "int8w", "int8w-gptq": "int8w",
                      "resident-int8w": "int8w"}.get(args.fused_decode, "bf16")
             resident = args.fused_decode.startswith("resident")
+            decode_pack = None
+            if gptq_quantizer is not None:
+                if args.model == "mamba":
+                    from ..ops.pallas_decode import build_decode_params as _bdp
+                else:
+                    from ..ops.pallas_xlstm_decode import (
+                        build_xlstm_decode_params as _bdp,
+                    )
+
+                decode_pack = _bdp(
+                    params, model.cfg, int(src.shape[0]), quant="int8w",
+                    quantizer=gptq_quantizer,
+                )
             streams = generate(
                 model, params, args.model, src, meta, args.length, block_len,
                 jax.random.PRNGKey(args.seed), greedy=args.greedy,
                 mode=args.sampler, fused=fused, quant=quant,
-                resident=resident,
+                resident=resident, decode_pack=decode_pack,
             )
         streams = np.asarray(streams)
         for i in range(streams.shape[0]):

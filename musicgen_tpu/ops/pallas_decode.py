@@ -623,7 +623,8 @@ def _quantize_cols(w: jax.Array, group: int = QUANT_GROUP) -> Tuple[jax.Array, j
 
 
 def build_decode_params(
-    variables: Any, cfg: MambaConfig, batch: int, quant: str = "bf16"
+    variables: Any, cfg: MambaConfig, batch: int, quant: str = "bf16",
+    quantizer: Any = None,
 ):
     """Stack and pre-process MambaLM flax params for the fused kernel.
 
@@ -637,8 +638,17 @@ def build_decode_params(
     (256-row-group x output-column) scales, halving the DMA-bound kernel's
     HBM traffic. The int8 pack is identical for both modes — execution
     differs in-kernel.
+
+    `quantizer` (optional): a `(site_name, w) -> (q, s)` callable replacing
+    the RTN `_quantize_cols` pack per matrix — e.g.
+    `ops.gptq.make_gptq_quantizer(hessians)` for calibrated GPTQ packs with
+    the identical (q, K-group s) layout. Site names: 'layer_{i}/in_proj',
+    'layer_{i}/out_proj', 'lm_head'.
     """
     assert quant in ("bf16", "int8", "int8w"), quant
+    qfn = quantizer if quantizer is not None else (
+        lambda _name, w: _quantize_cols(w)
+    )
     quant = "int8" if quant in ("int8", "int8w") else "bf16"
     p = variables["params"]
     dims = DecodeDims.create(cfg, batch)
@@ -654,8 +664,8 @@ def build_decode_params(
         k_in = jnp.pad(k_in, ((0, 0), (0, pad)))
         k_out = lp["out_proj"]["kernel"]
         if quant == "int8":
-            q_in, s_in = _quantize_cols(k_in)
-            q_out, s_out = _quantize_cols(k_out)
+            q_in, s_in = qfn(f"layer_{i}/in_proj", k_in)
+            q_out, s_out = qfn(f"layer_{i}/out_proj", k_out)
             w_in.append(q_in)
             w_out.append(q_out)
             w_in_s.append(s_in)
@@ -698,7 +708,7 @@ def build_decode_params(
         "embed": p["token_embedding"]["embedding"].astype(jnp.float32),
     }
     if quant == "int8":
-        q_lm, s_lm = _quantize_cols(lm_w)
+        q_lm, s_lm = qfn("lm_head", lm_w)
         out["lm_w"] = q_lm
         out["w_in_s"] = jnp.stack(w_in_s)
         out["w_out_s"] = jnp.stack(w_out_s)

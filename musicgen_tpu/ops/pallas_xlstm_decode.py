@@ -665,23 +665,34 @@ def _band_pack(w: jax.Array, d_out: int) -> jax.Array:
 
 
 def build_xlstm_decode_params(
-    variables: Any, cfg: XLSTMConfig, batch: int, quant: str = "bf16"
+    variables: Any, cfg: XLSTMConfig, batch: int, quant: str = "bf16",
+    quantizer: Any = None,
 ) -> dict:
     """Stack and pre-process XLSTMLM flax params for the fused kernel.
 
     quant='bf16' streams bf16 weights; 'int8w' stores the six big matmul
     weight classes (mLSTM up/down, sLSTM if/zo, FFN up/down) plus lm_head
-    as K-grouped int8 (W8A16 in-kernel, ops/pallas_decode._w8dot)."""
+    as K-grouped int8 (W8A16 in-kernel, ops/pallas_decode._w8dot).
+
+    `quantizer` (optional): `(site_name, w) -> (q, s)` replacing the RTN
+    pack per matrix — e.g. `ops.gptq.make_gptq_quantizer(hessians)` with
+    hessians collected at XLSTM_CALIB_SITES. Site names are flax paths
+    ('stack/block_3/mlstm/up_proj', 'lm_head', ...); concatenated packs
+    (sLSTM w_i|w_f, w_z|w_o) are keyed by their first member — both halves
+    share the same input, hence the same Hessian."""
     assert quant in ("bf16", "int8w"), quant
     p = variables["params"]
     dims = XDims.create(cfg, batch)
     H, d = dims.heads, dims.d_model
     di = dims.m_inner
     int8 = quant == "int8w"
+    qfn = quantizer if quantizer is not None else (
+        lambda _name, w: _quantize_cols(w)
+    )
 
-    def big(w):
+    def big(w, name=""):
         if int8:
-            return _quantize_cols(w)
+            return qfn(name, w)
         return w.astype(jnp.bfloat16), None
 
     m: dict = {k: [] for k in _M_WEIGHTS}
@@ -702,8 +713,8 @@ def build_xlstm_decode_params(
             w_zo = jnp.concatenate(
                 [lp["w_z"]["kernel"], lp["w_o"]["kernel"]], axis=1
             )
-            q_if, s_if = big(w_if)
-            q_zo, s_zo = big(w_zo)
+            q_if, s_if = big(w_if, f"stack/block_{b_i}/slstm/w_i")
+            q_zo, s_zo = big(w_zo, f"stack/block_{b_i}/slstm/w_z")
             s["w_if"].append(q_if)
             s["w_zo"].append(q_zo)
             if int8:
@@ -734,8 +745,8 @@ def build_xlstm_decode_params(
                 bp["ffn"]["down"]["kernel"],
                 ((0, dims.ffn_pad - dims.ffn_inner), (0, 0)),
             )
-            q_fu, s_fu = big(fu)
-            q_fd, s_fd = big(fd)
+            q_fu, s_fu = big(fu, f"stack/block_{b_i}/ffn/up")
+            q_fd, s_fd = big(fd, f"stack/block_{b_i}/ffn/down")
             s["ffn_up"].append(q_fu)
             s["ffn_down"].append(q_fd)
             if int8:
@@ -748,7 +759,7 @@ def build_xlstm_decode_params(
         else:
             lp = bp["mlstm"]
             m["ln"].append(_ln2(bp["ln"], d))
-            q_up, s_up = big(lp["up_proj"]["kernel"])
+            q_up, s_up = big(lp["up_proj"]["kernel"], f"stack/block_{b_i}/mlstm/up_proj")
             m["w_up"].append(q_up)
             if int8:
                 ms["w_up"].append(s_up)
@@ -779,7 +790,7 @@ def build_xlstm_decode_params(
             m["skip"].append(
                 lp["learnable_skip"].astype(jnp.float32)[None, :]
             )
-            q_dn, s_dn = big(lp["down_proj"]["kernel"])
+            q_dn, s_dn = big(lp["down_proj"]["kernel"], f"stack/block_{b_i}/mlstm/down_proj")
             m["w_down"].append(q_dn)
             if int8:
                 ms["w_down"].append(s_dn)
@@ -798,7 +809,7 @@ def build_xlstm_decode_params(
     out["ln_f"] = _ln2(stack_p["post_norm"], d)
     lm_w = p["lm_head"]["kernel"]
     if int8:
-        q_lm, s_lm = _quantize_cols(lm_w)
+        q_lm, s_lm = qfn("lm_head", lm_w)
         out["lm_w"] = q_lm
         out["lm_s"] = s_lm
     else:

@@ -616,9 +616,15 @@ def generate(
     fused: bool | None = None,
     quant: str = "bf16",
     resident: bool = False,
+    decode_pack: Any = None,
 ) -> jax.Array:
     """End-to-end conditioned generation (reference scripts/generate.py
     `generate` equivalent). Returns (B, P + num_tokens) full streams.
+
+    decode_pack: a prebuilt fused-kernel param pack (the matching model
+    family's build_*_decode_params output) used instead of packing inside
+    the jitted runner — required for packs that cannot be built under
+    tracing, e.g. GPTQ-calibrated int8 (ops/gptq.py: host-side solver).
 
     fused=None auto-selects the fused multi-layer Pallas decode kernel
     (ops/pallas_decode) for Mamba on accelerators (with the sampler tail
@@ -670,17 +676,22 @@ def generate(
     resident = resident and kind == "mamba" and mode == "combined"
     if resident:
         fused = True
+    if decode_pack is not None:
+        assert fused, "decode_pack requires the fused decode path"
     run = _make_generate_runner(
         model, kind, int(prompt.shape[0]), num_tokens, block_len,
         greedy, mode, fused, quant, jit, resident,
+        has_pack=decode_pack is not None,
     )
+    if decode_pack is not None:
+        return run(params, prompt, meta, rng, decode_pack)
     return run(params, prompt, meta, rng)
 
 
 @functools.lru_cache(maxsize=64)
 def _make_generate_runner(
     model, kind, batch, num_tokens, block_len, greedy, mode, fused, quant,
-    jit, resident=False,
+    jit, resident=False, has_pack=False,
 ):
     """Build (and cache) the jitted end-to-end generation function.
 
@@ -701,7 +712,7 @@ def _make_generate_runner(
     # never leave VMEM.
     fused_tail = fused and mode == "combined"
 
-    def run(params, prompt, meta, rng):
+    def run(params, prompt, meta, rng, decode_pack=None):
         init_logits, state = prefill(params, prompt, meta)
         if fused and kind == "xlstm":
             from ..ops.pallas_xlstm_decode import (
@@ -710,8 +721,10 @@ def _make_generate_runner(
                 fused_xlstm_sample_step,
             )
 
-            step_params = build_xlstm_decode_params(
-                params, model_cfg, prompt.shape[0], quant=quant
+            step_params = decode_pack if decode_pack is not None else (
+                build_xlstm_decode_params(
+                    params, model_cfg, prompt.shape[0], quant=quant
+                )
             )
             if fused_tail:
                 xdims = XDims.create(model_cfg, prompt.shape[0])
@@ -735,8 +748,10 @@ def _make_generate_runner(
                 fused_transformer_sample_step,
             )
 
-            step_params = build_transformer_decode_params(
-                params, model_cfg, prompt.shape[0], quant=quant
+            step_params = decode_pack if decode_pack is not None else (
+                build_transformer_decode_params(
+                    params, model_cfg, prompt.shape[0], quant=quant
+                )
             )
             if fused_tail:
                 tdims = TDims.create(model_cfg, prompt.shape[0])
@@ -756,8 +771,10 @@ def _make_generate_runner(
         elif fused:
             from ..ops.pallas_decode import DecodeDims, build_decode_params
 
-            step_params = build_decode_params(
-                params, model_cfg, prompt.shape[0], quant=quant
+            step_params = decode_pack if decode_pack is not None else (
+                build_decode_params(
+                    params, model_cfg, prompt.shape[0], quant=quant
+                )
             )
             if resident:
                 from ..ops.pallas_generate import generate_resident
