@@ -22,7 +22,7 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-OUT = "experiments/out"
+OUT = os.environ.get("DIFF_E2E_OUT", "experiments/out_gen")
 
 
 def run(cmd):

@@ -47,7 +47,7 @@ echo "rc=$?" | tee -a $OUT/queue.log
 
 stage "diffusion e2e"
 timeout 7200 $PY experiments/diffusion_e2e.py \
-    > experiments/out/diffusion_e2e.log 2>&1
+    > $OUT/diffusion_e2e.log 2>&1
 echo "rc=$?" | tee -a $OUT/queue.log
 
 stage "memory probe (remat / loss-chunk fit boundary)"
@@ -67,10 +67,10 @@ echo "rc=$?" | tee -a $OUT/queue.log
 
 stage "serve CLI (mixed-length request list on the trained mamba)"
 timeout 7200 $PY -m musicgen_tpu.cli.serve --model mamba \
-    --ckpt "$(ls -d experiments/out/ckpt/mamba/loss_* | tail -1)" \
-    --data experiments/out/np/midi --metadata experiments/out/metadata.json \
+    --ckpt "$(ls -d $OUT/ckpt/mamba/loss_* | tail -1)" \
+    --data $OUT/np/midi --metadata $OUT/metadata.json \
     --requests '[{"composer":"Bach","length":2000},{"composer":"Mozart","length":500},{"composer":"Chopin","length":1000},{"composer":"Beethoven","length":250},{"composer":"Bach","length":1500},{"composer":"Mozart","length":750},{"composer":"Chopin","length":2000},{"composer":"Beethoven","length":400}]' \
-    --output experiments/out/serve/cli --stats experiments/out/serve/cli_stats.json \
+    --output $OUT/serve/cli --stats $OUT/serve/cli_stats.json \
     > $OUT/serve_cli.log 2>&1
 echo "rc=$?" | tee -a $OUT/queue.log
 

@@ -37,11 +37,15 @@ measured ~300 us/token step); idle slots decode garbage that is discarded
 on retire — the standard continuous-batching trade, tunable via `chunk`.
 
 Multi-chip: pass `mesh=` (a ('data','model') mesh) to shard the slot pool
-over the 'data' axis under GSPMD — params replicate, each chip decodes its
-slot shard at the per-chip weight-stream roofline, and aggregate
-throughput scales with the axis size. Streams are bit-identical to the
-single-chip scheduler because per-request RNG never depends on slot or
-batch composition.
+over the 'data' axis — params replicate, each chip decodes its slot shard
+at the per-chip weight-stream roofline, and aggregate throughput scales
+with the axis size. The XLA step shards under plain GSPMD; the fused
+Pallas chunk (which GSPMD cannot auto-partition) runs inside shard_map
+with every batch-leading slot-state leaf split over 'data' and the weight
+pack replicated — so multi-chip serving keeps the fused-kernel decode
+rate. Streams are bit-identical to the single-chip scheduler because
+per-request RNG never depends on slot or batch composition
+(tests/test_serve.py pins both paths on the 8-device virtual mesh).
 """
 from __future__ import annotations
 
@@ -138,12 +142,19 @@ class BatchScheduler:
                 raise ValueError(
                     f"slots {slots} must divide the 'data' axis ({data})"
                 )
-            if fused:
+            if fused and mesh.shape.get("model", 1) > 1:
                 raise ValueError(
-                    "fused decode kernels cannot be GSPMD-sharded; use "
-                    "fused=None/False with mesh"
+                    "fused decode kernels serve data-parallel only; use a "
+                    "mesh with model axis 1 (or fused=False for TP)"
                 )
-            fused = False
+            # Pallas kernels do not auto-partition under GSPMD; the fused
+            # mesh path instead wraps the chunk program in shard_map over
+            # 'data' — every slot-state leaf is batch-leading, so each chip
+            # runs the whole kernel on its slots/|data| shard against a
+            # replicated weight pack (per-chip weight-stream roofline,
+            # aggregate scales with the axis — tests/test_serve.py pins
+            # stream equality on the virtual mesh). fused=None keeps the
+            # same auto policy as single-chip.
             from ..parallel.mesh import batch_sharding, param_shardings
 
             self._slot_sharding = batch_sharding(mesh)
@@ -170,19 +181,30 @@ class BatchScheduler:
             )
         self._fused = fused and kind in ("mamba", "xlstm")
         self.quant = quant
+        # Kernel batch = slots on one chip, the per-chip slot shard under a
+        # mesh (the shard_map body sees local shapes).
+        self._kernel_slots = (
+            slots // mesh.shape["data"] if mesh is not None else slots
+        )
         self._fused_pack = None
         if self._fused and kind == "mamba":
             from ..ops.pallas_decode import build_decode_params
 
             self._fused_pack = build_decode_params(
-                params, model.cfg, slots, quant=quant
+                params, model.cfg, self._kernel_slots, quant=quant
             )
         elif self._fused:
             from ..ops.pallas_xlstm_decode import build_xlstm_decode_params
 
             self._fused_pack = build_xlstm_decode_params(
-                params, model.cfg, slots,
+                params, model.cfg, self._kernel_slots,
                 quant="int8w" if quant in ("int8", "int8w") else "bf16",
+            )
+        if self._fused and mesh is not None:
+            from ..parallel.mesh import replicated
+
+            self._fused_pack = jax.device_put(
+                self._fused_pack, replicated(mesh)
             )
         self._prefill, self._step = make_sampler(model, kind, block_len)
         if kind == "transformer":
@@ -349,7 +371,7 @@ class BatchScheduler:
             )
 
             mcfg = self.model.cfg
-            dims = DecodeDims.create(mcfg, self.slots)
+            dims = DecodeDims.create(mcfg, self._kernel_slots)
             qmode = "w8a16" if self.quant in ("int8", "int8w") else "w8a8"
 
             def step_fn(pack, token, mstate, si):
@@ -369,8 +391,8 @@ class BatchScheduler:
             )
 
             xcfg = self.model.cfg
-            xdims = XDims.create(xcfg, self.slots)
-            slots = self.slots
+            xdims = XDims.create(xcfg, self._kernel_slots)
+            slots = self._kernel_slots
 
             def step_fn(pack, token, carry, si):
                 return fused_xlstm_logits_step(
@@ -418,6 +440,22 @@ class BatchScheduler:
                 "last": last, "key": keys, "lstep": lstep,
             }
             return out, toks.transpose(1, 0)  # (S, chunk)
+
+        if self.mesh is not None and self._fused:
+            # Manual data parallelism for the Pallas chunk: every slot-state
+            # leaf is batch-leading, so P('data') prefixes shard the pool
+            # and each device runs the whole fused kernel on its local
+            # slots (the pack is replicated). Streams stay bit-identical
+            # because per-request RNG ignores slot/batch composition.
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            chunk = shard_map(
+                chunk, mesh=self.mesh,
+                in_specs=(P(), P("data")),
+                out_specs=(P("data"), P("data")),
+                check_rep=False,
+            )
 
         return jax.jit(chunk, donate_argnums=(1,))
 

@@ -298,9 +298,41 @@ def test_mesh_rejects_bad_config(setup):
     with pytest.raises(ValueError, match="divide"):
         BatchScheduler(model, params, "mamba", prompt_len=PROMPT_LEN,
                        slots=6, mesh=mesh)
-    with pytest.raises(ValueError, match="GSPMD"):
+    tp_mesh = make_mesh(MeshConfig(data=4, model=2), jax.devices()[:8])
+    with pytest.raises(ValueError, match="data-parallel"):
         BatchScheduler(model, params, "mamba", prompt_len=PROMPT_LEN,
-                       slots=8, mesh=mesh, fused=True)
+                       slots=8, mesh=tp_mesh, fused=True)
+
+
+def test_mesh_fused_chunk_matches_single_device(setup):
+    """Fused-kernel serving under the 'data' mesh: the Pallas chunk runs
+    inside shard_map (each device decodes its slot shard, pack replicated)
+    and must produce bit-identical greedy streams to the single-device
+    fused scheduler AND the one-shot sampler oracle."""
+    from musicgen_tpu.config import MeshConfig
+    from musicgen_tpu.parallel.mesh import make_mesh
+
+    model, params, prompts, metas = setup
+    mesh = make_mesh(MeshConfig(data=8, model=1), jax.devices()[:8])
+    kw = dict(prompt_len=PROMPT_LEN, chunk=4, greedy=True,
+              block_len=PROMPT_LEN, fused=True)
+    dist = BatchScheduler(model, params, "mamba", slots=8, mesh=mesh, **kw)
+    solo = BatchScheduler(model, params, "mamba", slots=2, **kw)
+    lengths = [6, 9, 3]
+    ids_d = [dist.submit(prompts[i], metas[i], lengths[i]) for i in range(3)]
+    ids_s = [solo.submit(prompts[i], metas[i], lengths[i]) for i in range(3)]
+    res_d, res_s = dist.run(), solo.run()
+    for i in range(3):
+        np.testing.assert_array_equal(
+            res_d[ids_d[i]], res_s[ids_s[i]],
+            err_msg=f"mesh-fused request {i} diverged from single-device",
+        )
+    for i in range(3):
+        want = _oracle(model, params, prompts[i], metas[i], lengths[i])
+        np.testing.assert_array_equal(
+            res_d[ids_d[i]], want,
+            err_msg=f"mesh-fused request {i} diverged from oracle",
+        )
 
 
 def test_xlstm_fused_chunk_matches_oneshot():
