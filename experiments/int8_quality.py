@@ -81,14 +81,23 @@ xstep = jax.jit(lambda p, t, s: model.apply(p, t, s, method=MambaLM.step))
 from musicgen_tpu.ops.gptq import collect_hessians, make_gptq_quantizer
 import time as _time
 
+# Calibration forwards are EAGER (the interceptor pulls concrete inputs);
+# on the remote axon backend that is dispatch-bound, so run them on the
+# host CPU backend against a CPU copy of the params.
+cpu0 = jax.local_devices(backend="cpu")[0]
+params_cpu = jax.device_put(params, cpu0)
 calib_batches = []
 for c in range(4):
     cidx = rng.integers(0, len(ds), batch)
-    cs = jnp.stack([jnp.asarray(ds[int(i)][0]) for i in cidx])
-    cm = jnp.stack([jnp.asarray(ds[int(i)][2]) for i in cidx])
-    calib_batches.append((cs[:, :512].astype(jnp.int32), cm))
+    cs = np.stack([np.asarray(ds[int(i)][0]) for i in cidx])
+    cm = np.stack([np.asarray(ds[int(i)][2]) for i in cidx])
+    calib_batches.append(
+        (jax.device_put(cs[:, :512].astype(np.int32), cpu0),
+         jax.device_put(cm, cpu0))
+    )
 t0 = _time.perf_counter()
-hessians = collect_hessians(model, params, calib_batches)
+with jax.default_device(cpu0):
+    hessians = collect_hessians(model, params_cpu, calib_batches)
 t1 = _time.perf_counter()
 gptq_quantizer = make_gptq_quantizer(hessians)
 print(f"gptq calibration: {len(calib_batches)} batches, "

@@ -113,22 +113,25 @@ def main() -> None:
         calib_ds = TokenDataset.from_directory(
             args.data, args.metadata, block_len=512, crop="random"
         )
+        # Calibration forwards are eager (the interceptor reads concrete
+        # inputs) — run them on the host CPU backend, not the remote chip.
+        cpu0 = jax.local_devices(backend="cpu")[0]
+        params_cpu = jax.device_put(params, cpu0)
         crng = np.random.default_rng(args.seed)
         batches = []
         for _ in range(4):
             cidx = crng.integers(0, len(calib_ds), 2)
-            cs = jnp.asarray(
-                np.stack([calib_ds[int(i)][0] for i in cidx]), jnp.int32
+            cs = np.stack([calib_ds[int(i)][0] for i in cidx]).astype(np.int32)
+            cm = np.stack([calib_ds[int(i)][2] for i in cidx]).astype(np.int32)
+            batches.append(
+                (jax.device_put(cs, cpu0), jax.device_put(cm, cpu0))
             )
-            cm = jnp.asarray(
-                np.stack([calib_ds[int(i)][2] for i in cidx]), jnp.int32
-            )
-            batches.append((cs, cm))
         print("calibrating GPTQ hessians on the corpus ...")
         sites = CALIB_SITES if args.model == "mamba" else XLSTM_CALIB_SITES
-        gptq_quantizer = make_gptq_quantizer(
-            collect_hessians(model, params, batches, sites=sites)
-        )
+        with jax.default_device(cpu0):
+            gptq_quantizer = make_gptq_quantizer(
+                collect_hessians(model, params_cpu, batches, sites=sites)
+            )
 
     suffix = "_no_meta" if args.no_metadata else ""
     for band in bands:
