@@ -30,6 +30,11 @@ timeout 7200 $PY experiments/fidelity.py --out $OUT \
     > $OUT/fidelity_mamba.log 2>&1
 echo "rc=$?" | tee -a $OUT/queue.log
 
+stage "int8 decode quality (incl. GPTQ pack) on the trained ckpt"
+timeout 7200 $PY experiments/int8_quality.py \
+    > $OUT/int8_quality.log 2>&1
+echo "rc=$?" | tee -a $OUT/queue.log
+
 stage "bench_train MFU sweep"
 timeout 7200 $PY experiments/bench_train.py --batch 2,8,16,32 \
     > $OUT/bench_train_sweep.log 2>&1
