@@ -28,7 +28,7 @@ def make_batch(b):
 def bench(kind, dtype, batch, reps=6, remat=False, loss_chunk=0):
     src, trg, meta = make_batch(batch)
     cfg = DEFAULT_CONFIG
-    if remat:
+    if remat and hasattr(getattr(cfg, kind), "remat"):
         import dataclasses
         cfg = dataclasses.replace(cfg, **{
             kind: dataclasses.replace(getattr(cfg, kind), remat=True)})
@@ -58,8 +58,9 @@ def bench(kind, dtype, batch, reps=6, remat=False, loss_chunk=0):
     toks = batch * TT
     flops = 6.0 * n_params * toks  # fwd 2x + bwd 4x matmul FLOPs
     mfu = flops / dt / V5E_BF16_PEAK
+    lever = ("+remat" if remat else "") + (f"+chunk{loss_chunk}" if loss_chunk else "")
     print(
-        f"{kind:12s} {np.dtype(dtype).name:9s} B{batch:<3d}: {1/dt:6.2f} steps/s "
+        f"{kind:12s} {np.dtype(dtype).name:9s} B{batch:<3d}{lever:12s}: {1/dt:6.2f} steps/s "
         f"({dt*1e3:6.0f} ms)  {toks/dt/1e3:7.1f}k tok/s  MFU {mfu*100:5.1f}%",
         flush=True,
     )
@@ -94,7 +95,16 @@ if __name__ == "__main__":
                 r = subprocess.run(
                     [sys.executable, __file__, "--single", f"{kind}:{b}"])
                 if r.returncode != 0:
-                    print(f"{kind} B{b}: FAILED rc={r.returncode}", flush=True)
+                    # Plain config exceeds HBM at this batch — retry with the
+                    # memory levers (per-layer remat + chunked grammar-CE).
+                    print(f"{kind} B{b}: plain OOM rc={r.returncode}; "
+                          "retrying with remat+loss-chunk", flush=True)
+                    r = subprocess.run(
+                        [sys.executable, __file__, "--single",
+                         f"{kind}:{b}:1:256"])
+                    if r.returncode != 0:
+                        print(f"{kind} B{b}: FAILED rc={r.returncode}",
+                              flush=True)
     else:
         for kind in kinds:
             for dtype in (jnp.float32, jnp.bfloat16):

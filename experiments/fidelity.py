@@ -26,6 +26,10 @@ import shutil
 import subprocess
 import sys
 
+# Running as `python experiments/fidelity.py` puts experiments/ (not the
+# repo root) on sys.path; the late musicgen_tpu import below needs the root.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def run(cmd):
     print("+", " ".join(cmd), flush=True)
