@@ -42,7 +42,9 @@ def main():
         "--tokens", default="2000,500,1000,250,1500,750,2000,400,600,1200"
     )
     ap.add_argument("--prompt-len", type=int, default=2048)
-    ap.add_argument("--quant", default="bf16", choices=["bf16", "int8w", "int8"])
+    ap.add_argument("--quant", default="bf16",
+                    choices=["bf16", "int8w", "int8", "bf16-sb16",
+                             "int8w-sb16"])
     args = ap.parse_args()
     lengths = [int(t) for t in args.tokens.split(",")]
 

@@ -85,12 +85,21 @@ def main():
     xla_out, xla_tps = run("xla cached step (round-2)", fused=False)
     bf16_out, bf16_tps = run("fused kernel bf16", fused=True, quant="bf16")
     _, int8_tps = run("fused kernel int8w", fused=True, quant="int8w")
+    _, sb16_tps = run("fused bf16 + bf16 state", fused=True, quant="bf16-sb16")
+    _, i8s_tps = run("fused int8w + bf16 state", fused=True,
+                     quant="int8w-sb16")
     g_xla, _ = run("greedy xla", fused=False, greedy=True)
     g_fused, _ = run("greedy fused bf16", fused=True, greedy=True)
     agree = float(jnp.mean((g_xla == g_fused).astype(jnp.float32)))
     print(f"greedy stream agreement fused-vs-xla: {agree:.4f}", flush=True)
+    g_sb16, _ = run("greedy fused int8w-sb16", fused=True, greedy=True,
+                    quant="int8w-sb16")
+    agree_s = float(jnp.mean((g_xla == g_sb16).astype(jnp.float32)))
+    print(f"greedy stream agreement int8w-sb16-vs-xla: {agree_s:.4f}",
+          flush=True)
     print(
         f"SUMMARY xla={xla_tps:.0f} bf16={bf16_tps:.0f} int8w={int8_tps:.0f} "
+        f"sb16={sb16_tps:.0f} int8w-sb16={i8s_tps:.0f} "
         f"speedup={bf16_tps / xla_tps:.2f}x",
         flush=True,
     )

@@ -59,7 +59,8 @@ def main() -> None:
                         "length+300 tokens (testing variant decodes [800:])")
     p.add_argument("--fused-decode",
                    choices=["auto", "on", "off", "int8", "int8w",
-                            "int8w-gptq", "resident", "resident-int8w"],
+                            "int8w-gptq", "resident", "resident-int8w",
+                            "sb16", "int8w-sb16"],
                    default="auto",
                    help="mamba fused multi-layer Pallas decode kernel "
                         "(auto: on for TPU; bf16-tolerance numerics). "
@@ -70,7 +71,9 @@ def main() -> None:
                         "int8: W8A8, fastest but "
                         "noisy. resident[-int8w]: the ENTIRE token loop in "
                         "one kernel with VMEM-resident state "
-                        "(ops/pallas_generate) — see BENCHMARKS.md)")
+                        "(ops/pallas_generate). [int8w-]sb16 (xlstm): store "
+                        "the mLSTM matrix memory bf16, halving its HBM "
+                        "stream — see BENCHMARKS.md)")
     p.add_argument("--reference-windowing", action="store_true",
                    help="exact reference semantics: re-forward the slid "
                         "window per token (O(window)/token; validation only)")
@@ -171,9 +174,11 @@ def main() -> None:
                 src = src[:, -block_len:]
             fused = {"auto": None, "on": True, "off": False,
                      "int8": True, "int8w": True, "int8w-gptq": True,
-                     "resident": True, "resident-int8w": True}[args.fused_decode]
+                     "resident": True, "resident-int8w": True,
+                     "sb16": True, "int8w-sb16": True}[args.fused_decode]
             quant = {"int8": "int8", "int8w": "int8w", "int8w-gptq": "int8w",
-                     "resident-int8w": "int8w"}.get(args.fused_decode, "bf16")
+                     "resident-int8w": "int8w", "sb16": "bf16-sb16",
+                     "int8w-sb16": "int8w-sb16"}.get(args.fused_decode, "bf16")
             resident = args.fused_decode.startswith("resident")
             decode_pack = None
             if gptq_quantizer is not None:

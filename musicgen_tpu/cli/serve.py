@@ -53,8 +53,13 @@ def main() -> None:
     p.add_argument("--prompt-len", type=int, default=None)
     p.add_argument("--block-len", type=int, default=None)
     p.add_argument("--greedy", action="store_true")
-    p.add_argument("--quant", choices=["bf16", "int8w", "int8"],
-                   default="bf16")
+    p.add_argument("--quant",
+                   choices=["bf16", "int8w", "int8", "bf16-sb16",
+                            "int8w-sb16"],
+                   default="bf16",
+                   help="decode numerics; '-sb16' (xlstm) additionally "
+                        "stores the mLSTM matrix memory bf16, halving its "
+                        "HBM stream")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 

@@ -14,6 +14,13 @@ Per-token HBM traffic at B=2 (the irreducible cost of exact decode):
   state r/w + ~1 MB small state  ->  ~300 MB  ->  ~366 us at the v5e's
   819 GB/s, vs the XLA step's measured 615 us. quant='w8a16' halves the
   weight stream (int8 K-group weights, bf16 math — ops/pallas_decode._w8dot).
+  The matrix state can additionally be STORED bf16 (stack_xlstm_states
+  state_dtype=bf16; the kernel reads the storage dtype off the operand and
+  computes f32 in-register), halving the other big stream — at int8w+sb16
+  the per-token traffic drops to ~66 + ~57 MB. Storage rounding enters the
+  S recurrence once per step (S = f*S + i k v^T with f<=1, so errors decay
+  rather than accumulate); measured drift is bounded in
+  tests/test_pallas_xlstm_decode.py and experiments/int8_quality.py.
 
 Mosaic-layout notes (the compiler rejects lane<->sublane reshapes, so the
 whole kernel is rank-2; rank>2 blocks only carry size-1/static-indexed
@@ -418,13 +425,14 @@ def _xlstm_kernel(*refs, dims: XDims, quant: str, tail: bool, names):
         x_new, conv_new, s_new, nm_new = _mlstm_block_math(
             r["x_scr"][:, :],
             mr,
-            (r["conv_m"][0], r["s_m"][0], r["nm_m"][0]),
+            # The matrix state's STORAGE dtype may be bf16; math is f32.
+            (r["conv_m"][0], r["s_m"][0].astype(jnp.float32), r["nm_m"][0]),
             dims,
             quant,
         )
         r["x_scr"][:, :] = x_new
         r["conv_m_out"][0] = conv_new
-        r["s_m_out"][0] = s_new
+        r["s_m_out"][0] = s_new.astype(r["s_m_out"].dtype)
         r["nm_m_out"][0] = nm_new
 
     @pl.when(is_sl)
@@ -611,7 +619,9 @@ def _fused_xlstm_call(
         aliases[alias_in[name]] = len(out_names)
         out_names.append(f"{name}_out")
         out_specs.append(pl.BlockSpec((1,) + arr.shape[1:], imap))
-        out_shape.append(jax.ShapeDtypeStruct(arr.shape, f32))
+        # Aliased write-back keeps the state's storage dtype (s_m may be
+        # stored bf16 to halve its HBM stream; everything else is f32).
+        out_shape.append(jax.ShapeDtypeStruct(arr.shape, arr.dtype))
 
     scratch = [pltpu.VMEM((dims.rows, dims.d_model), f32)]
     scratch_names = ["x_scr"]
@@ -835,11 +845,16 @@ def _ln2(lnp, d):
     )
 
 
-def stack_xlstm_states(states, cfg: XLSTMConfig, batch: int):
+def stack_xlstm_states(states, cfg: XLSTMConfig, batch: int,
+                       state_dtype=jnp.float32):
     """XLSTMStack.prefill per-block state dicts -> stacked kernel arrays.
 
     Returns (conv_m (M,B,3,di), s_m (M, di, B*DV), nm_m (M, 8, di+128),
-    conv_s (S,B,3,d), hcnm_s (S, 4, 8, d))."""
+    conv_s (S,B,3,d), hcnm_s (S, 4, 8, d)).
+
+    state_dtype sets the mLSTM matrix memory's STORAGE dtype only (bf16
+    halves its ~113 MB/token HBM stream; the kernel computes f32). The
+    small n/m/conv/sLSTM states stay f32 regardless."""
     dims = XDims.create(cfg, batch)
     B, H = batch, dims.heads
     DK = dims.m_dh
@@ -868,7 +883,7 @@ def stack_xlstm_states(states, cfg: XLSTMConfig, batch: int):
             nm_m.append(nm)
     return (
         jnp.stack(conv_m),
-        jnp.stack(s_m),
+        jnp.stack(s_m).astype(state_dtype),
         jnp.stack(nm_m),
         jnp.stack(conv_s),
         jnp.stack(hcnm_s),
@@ -895,7 +910,10 @@ def unstack_xlstm_states(packs, cfg: XLSTMConfig, batch: int):
             )
             si += 1
         else:
-            s4 = s_m[mi].reshape(H, DK, B, DK).transpose(2, 0, 1, 3)
+            s4 = (
+                s_m[mi].astype(jnp.float32)
+                .reshape(H, DK, B, DK).transpose(2, 0, 1, 3)
+            )
             n_ = nm_m[mi][:B, : dims.m_inner].reshape(B, H, DK)
             m_ = nm_m[mi][:B, dims.m_inner : dims.m_inner + H]
             out.append({"conv": conv_m[mi], "mlstm": (s4, n_, m_)})

@@ -449,6 +449,7 @@ def make_sampler(
     batch: int | None = None,
     interpret: bool = False,
     quant: str = "bf16",
+    state_bf16: bool = False,
 ):
     """Returns (prefill_fn, step_fn) for `sample_tokens`.
 
@@ -580,7 +581,10 @@ def make_sampler(
                 logits, states = model.apply(
                     params, tokens, meta, method=XLSTMLM.prefill
                 )
-                return logits[:, -1, :], stack_xlstm_states(states, cfg, batch)
+                return logits[:, -1, :], stack_xlstm_states(
+                    states, cfg, batch,
+                    state_dtype=jnp.bfloat16 if state_bf16 else jnp.float32,
+                )
 
             def step(wp, token, carry, stream_idx):
                 return fused_xlstm_logits_step(
@@ -630,6 +634,10 @@ def generate(
     (ops/pallas_decode) for Mamba on accelerators (with the sampler tail
     fused in-kernel for mode='combined'); quant='int8' additionally selects
     the W8A8 weight-quantized variant (~2x decode, ~8-bit logit noise).
+    For xLSTM, quant may carry an '-sb16' suffix ('bf16-sb16',
+    'int8w-sb16'): the mLSTM matrix memory is STORED bf16 (f32 math),
+    halving its ~113 MB/token HBM stream — the dominant term once weights
+    are int8.
     resident=True (mamba, mode='combined') runs the ENTIRE token loop in
     one pallas_call with all recurrent + sampler state VMEM-resident
     (ops/pallas_generate): per-token HBM traffic is the weight stream only.
@@ -639,6 +647,13 @@ def generate(
 
     The jitted runner is cached on (model, shapes, sampling options), so
     repeated calls — e.g. the CLI's per-composer loop — compile once."""
+    # quant may carry an '-sb16' suffix (xLSTM only): store the mLSTM
+    # matrix memory bf16, halving its ~113 MB/token HBM stream
+    # (ops/pallas_xlstm_decode docstring). Math stays f32 in-kernel.
+    state_bf16 = False
+    if quant.endswith("-sb16"):
+        assert kind == "xlstm", "'-sb16' state storage is an xLSTM option"
+        state_bf16, quant = True, quant[: -len("-sb16")]
     if fused is None:
         # Auto-select only configs where the kernels WIN: the mamba kernel
         # bakes in the reference's no-residual stack (DecodeDims.create
@@ -658,7 +673,7 @@ def generate(
             # HBM roofline (2,262 vs 2,031 tok/s/seq fused). The transformer
             # kernel wins at bf16 too (1,536 vs 1,415; KV-cache reads ride
             # the fused weight stream) — BENCHMARKS.md round-3 table.
-            or (kind == "xlstm" and quant in ("int8", "int8w"))
+            or (kind == "xlstm" and (quant in ("int8", "int8w") or state_bf16))
             or kind == "transformer"
         )
     fused = fused and kind in ("mamba", "xlstm", "transformer")
@@ -681,7 +696,7 @@ def generate(
     run = _make_generate_runner(
         model, kind, int(prompt.shape[0]), num_tokens, block_len,
         greedy, mode, fused, quant, jit, resident,
-        has_pack=decode_pack is not None,
+        has_pack=decode_pack is not None, state_bf16=state_bf16,
     )
     if decode_pack is not None:
         return run(params, prompt, meta, rng, decode_pack)
@@ -691,7 +706,7 @@ def generate(
 @functools.lru_cache(maxsize=64)
 def _make_generate_runner(
     model, kind, batch, num_tokens, block_len, greedy, mode, fused, quant,
-    jit, resident=False, has_pack=False,
+    jit, resident=False, has_pack=False, state_bf16=False,
 ):
     """Build (and cache) the jitted end-to-end generation function.
 
@@ -702,7 +717,7 @@ def _make_generate_runner(
     prefill, step = make_sampler(
         model, kind, block_len,
         fused_decode=fused, cfg=model_cfg, batch=batch,
-        interpret=interp, quant=quant,
+        interpret=interp, quant=quant, state_bf16=state_bf16,
     )
     cfg = SamplerConfig(num_tokens=num_tokens, ring_size=max(block_len, 2048),
                         greedy=greedy, mode=mode)

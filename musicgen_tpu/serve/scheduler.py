@@ -115,6 +115,14 @@ class BatchScheduler:
     ):
         if kind not in ("mamba", "xlstm", "transformer"):
             raise ValueError(f"unknown model kind: {kind!r}")
+        # quant may carry an '-sb16' suffix (xLSTM only): store the mLSTM
+        # matrix memory bf16 inside the fused chunk, halving its
+        # ~113 MB/token HBM stream (ops/pallas_xlstm_decode docstring).
+        self._state_bf16 = quant.endswith("-sb16")
+        if self._state_bf16:
+            if kind != "xlstm":
+                raise ValueError("'-sb16' state storage is an xLSTM option")
+            quant = quant[: -len("-sb16")]
         self.kind = kind
         self.model = model
         self.params = params
@@ -177,7 +185,10 @@ class BatchScheduler:
                     kind == "mamba"
                     and not getattr(getattr(model, "cfg", None), "residual", False)
                 )
-                or (kind == "xlstm" and quant in ("int8", "int8w"))
+                or (
+                    kind == "xlstm"
+                    and (quant in ("int8", "int8w") or self._state_bf16)
+                )
             )
         self._fused = fused and kind in ("mamba", "xlstm")
         self.quant = quant
@@ -393,13 +404,16 @@ class BatchScheduler:
             xcfg = self.model.cfg
             xdims = XDims.create(xcfg, self._kernel_slots)
             slots = self._kernel_slots
+            sdt = jnp.bfloat16 if self._state_bf16 else jnp.float32
 
             def step_fn(pack, token, carry, si):
                 return fused_xlstm_logits_step(
                     pack, token, carry, xcfg, xdims, interpret=interp
                 )
 
-            to_kernel = lambda st: stack_xlstm_states(st, xcfg, slots)
+            to_kernel = lambda st: stack_xlstm_states(
+                st, xcfg, slots, state_dtype=sdt
+            )
             from_kernel = lambda packs: unstack_xlstm_states(
                 packs, xcfg, slots
             )

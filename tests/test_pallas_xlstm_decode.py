@@ -168,3 +168,54 @@ def test_generate_fused_xlstm_matches_xla_stream(small_setup):
         np.asarray(fused[:, prompt.shape[1]:]),
         np.asarray(xla[:, prompt.shape[1]:]),
     )
+
+
+def test_fused_xlstm_step_bf16_state(small_setup):
+    """bf16-STORED mLSTM matrix memory (stack_xlstm_states state_dtype):
+    storage-rounding only — logits track the f32-state fused path across a
+    greedy walk, and the aliased write-back keeps the storage dtype."""
+    cfg, model, params, prompt, meta, logits0, states = small_setup
+    b = prompt.shape[0]
+    dims = XDims.create(cfg, b)
+    wp = build_xlstm_decode_params(params, cfg, b, quant="bf16")
+    carry32 = stack_xlstm_states(states, cfg, b)
+    carry16 = stack_xlstm_states(states, cfg, b, state_dtype=jnp.bfloat16)
+    assert carry16[1].dtype == jnp.bfloat16
+    assert carry16[2].dtype == jnp.float32  # n/m stabilizers stay f32
+
+    tok = jnp.argmax(logits0[:, -1, :], -1).astype(jnp.int32)
+    for step in range(6):
+        l32, carry32 = fused_xlstm_logits_step(
+            wp, tok, carry32, cfg, dims, interpret=INTERPRET
+        )
+        l16, carry16 = fused_xlstm_logits_step(
+            wp, tok, carry16, cfg, dims, interpret=INTERPRET
+        )
+        assert carry16[1].dtype == jnp.bfloat16, "write-back lost the dtype"
+        np.testing.assert_allclose(
+            np.asarray(l16), np.asarray(l32),
+            rtol=0.05, atol=0.05 * float(jnp.abs(l32).max()),
+            err_msg=f"bf16-state logits diverged at step {step}",
+        )
+        tok = jnp.argmax(l32, -1).astype(jnp.int32)
+
+    # Round-trip back to XLA-step state dicts casts up to f32.
+    for st in unstack_xlstm_states(carry16, cfg, b):
+        if "mlstm" in st:
+            assert st["mlstm"][0].dtype == jnp.float32
+
+
+def test_generate_fused_xlstm_sb16_integration(small_setup):
+    """generate(quant='...-sb16') end-to-end: the suffix routes the bf16
+    matrix-state storage through the fused path and yields a valid stream."""
+    from musicgen_tpu.sample.sampler import generate
+
+    cfg, model, params, prompt, meta, logits0, states = small_setup
+    for quant in ("bf16-sb16", "int8w-sb16"):
+        streams = generate(
+            model, params, "xlstm", prompt, meta, 6, prompt.shape[1],
+            jax.random.PRNGKey(0), fused=True, quant=quant,
+        )
+        assert streams.shape == (prompt.shape[0], prompt.shape[1] + 6)
+        new = np.asarray(streams[:, prompt.shape[1]:])
+        assert (new >= 0).all() and (new < cfg.vocab_size).all()

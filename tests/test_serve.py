@@ -374,6 +374,43 @@ def test_xlstm_fused_chunk_matches_oneshot():
         )
 
 
+def test_xlstm_sb16_chunk_streams_valid():
+    """quant='bf16-sb16' (bf16-STORED mLSTM matrix memory) through the
+    scheduler: at tiny size with a random init the storage rounding may
+    flip near-tie greedy picks, so this pins plumbing + validity — the
+    suffix routes to the fused path, states keep their storage dtype
+    across chunk edges, and streams are in-vocab.  Numeric drift bounds
+    live in tests/test_pallas_xlstm_decode.py::test_fused_xlstm_step_bf16_state."""
+    from musicgen_tpu.config import XLSTMConfig
+    from musicgen_tpu.models.xlstm import XLSTMLM
+
+    cfg = XLSTMConfig(
+        embedding_dim=32, num_blocks=2, slstm_at=(1,), num_heads=4,
+        context_length=PROMPT_LEN + NUM_META, vocab_size=VOCAB.vocab_size,
+        metadata_vocab_size=9,
+    )
+    model = XLSTMLM(cfg)
+    rng = np.random.default_rng(7)
+    prompts = [_prompt(rng) for _ in range(2)]
+    metas = [np.asarray(rng.integers(0, 9, (NUM_META,)), np.int32)
+             for _ in range(2)]
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(prompts[0])[None], jnp.asarray(metas[0])[None],
+    )
+    sched = BatchScheduler(
+        model, params, "xlstm", prompt_len=PROMPT_LEN, slots=2, chunk=4,
+        greedy=True, block_len=PROMPT_LEN, quant="bf16-sb16",
+    )
+    assert sched._fused and sched._state_bf16 and sched.quant == "bf16"
+    ids = [sched.submit(prompts[i], metas[i], 6) for i in range(2)]
+    res = sched.run()
+    for rid in ids:
+        toks = np.asarray(res[rid])
+        assert toks.shape == (6,)
+        assert (toks >= 0).all() and (toks < VOCAB.vocab_size).all()
+
+
 def test_fused_chunk_matches_oneshot(setup):
     """The fused-kernel chunk path (interpret mode on CPU) must produce the
     same greedy streams as the XLA path — this pins the model-format <->
