@@ -400,7 +400,7 @@ def test_xlstm_sb16_chunk_streams_valid():
     )
     sched = BatchScheduler(
         model, params, "xlstm", prompt_len=PROMPT_LEN, slots=2, chunk=4,
-        greedy=True, block_len=PROMPT_LEN, quant="bf16-sb16",
+        greedy=True, block_len=PROMPT_LEN, quant="bf16-sb16", fused=True,
     )
     assert sched._fused and sched._state_bf16 and sched.quant == "bf16"
     ids = [sched.submit(prompts[i], metas[i], 6) for i in range(2)]
