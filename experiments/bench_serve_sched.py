@@ -29,7 +29,7 @@ from musicgen_tpu.models.registry import init_params, new_model
 from musicgen_tpu.serve import BatchScheduler
 from musicgen_tpu.train import trainer as T
 
-OUT = "experiments/out"
+OUT = os.environ.get("MUSICGEN_OUT", "experiments/out")
 
 
 def main():

@@ -34,7 +34,7 @@ from musicgen_tpu.models.transformer import TransformerLM
 from musicgen_tpu.sample.sampler import generate, reference_windowed_generate
 from musicgen_tpu.train import trainer as T
 
-OUT = "experiments/out"
+OUT = os.environ.get("MUSICGEN_OUT", "experiments/out")
 PROMPT, WINDOW, TOKENS = 1024, 2048, 2000
 
 

@@ -43,6 +43,15 @@ def main() -> None:
                         "TIME axis of the mamba step over this many devices "
                         "(block_len + 6 must divide it; fp32 compute; "
                         "parallel/sp_train.py)")
+    p.add_argument("--pp", type=int, default=0,
+                   help="pipeline-parallel training: shard the LAYER stack "
+                        "over this many devices (GPipe microbatch schedule; "
+                        "params/grads/optimizer state sharded to their "
+                        "stages — per-device model memory ~1/pp; mamba "
+                        "only; parallel/pipeline.py)")
+    p.add_argument("--pp-microbatches", type=int, default=0,
+                   help="GPipe microbatch count (default: largest batch "
+                        "divisor <= 4*pp for <~20%% bubble)")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed for a TPU pod (replaces "
                         "the reference's torchrun launcher, README.md:26-29)")
@@ -111,6 +120,63 @@ def main() -> None:
         state = T.load_checkpoint(args.resume, template)
         params = state.params
 
+    if args.pp > 1:
+        if args.model != "mamba":
+            raise SystemExit("--pp implements the mamba step only")
+        import numpy as _np
+        from jax.sharding import Mesh as _Mesh
+
+        from ..parallel.pipeline import (
+            make_pp_train_step, pp_init, pp_opt_state_unformat, pp_unformat,
+        )
+
+        pp_mesh = _Mesh(_np.asarray(jax.devices()[: args.pp]), ("pipe",))
+        optimizer = T.make_optimizer(values)
+        ppp, opt_state, shard, opt_shard = pp_init(
+            params, optimizer, pp_mesh, model.cfg
+        )
+        step_fn = make_pp_train_step(
+            model, optimizer, pp_mesh,
+            microbatches=args.pp_microbatches or None,
+            shardings=shard, opt_shardings=opt_shard,
+        )
+        logger = T.JsonLogger(log_path)
+        logger.message(
+            f"Training started! pp={args.pp} (layer-sharded GPipe)"
+        )
+        step_count = 0
+        loss = float("nan")
+
+        def _save():
+            state = T.TrainState(
+                pp_unformat(jax.device_get(ppp), model.cfg),
+                pp_opt_state_unformat(jax.device_get(opt_state), model.cfg),
+                step_count,
+            )
+            T.save_checkpoint(ckpt_dir, state, float(loss))
+            logger.flush()
+
+        try:
+            for epoch in range(values.epochs):
+                for src, trg, meta in train_iter:
+                    ppp, opt_state, loss = step_fn(
+                        ppp, opt_state,
+                        jnp.asarray(src), jnp.asarray(trg), jnp.asarray(meta),
+                    )
+                    step_count += 1
+                    if step_count % values.eval_interval == 0:
+                        logger.step(step_count, float(loss))
+                logger.message(
+                    f"Epoch [{epoch+1}/{values.epochs}], Average Loss: "
+                    f"{float(loss):.4f}"
+                )
+                if (epoch + 1) % values.save_interval == 0:
+                    _save()
+        except KeyboardInterrupt:
+            logger.message("Interrupted!")
+        finally:
+            _save()
+        return
     if args.sp > 1:
         if args.model != "mamba":
             raise SystemExit("--sp implements the mamba step only")

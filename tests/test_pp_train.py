@@ -12,7 +12,15 @@ from jax.sharding import Mesh
 
 from musicgen_tpu.config import NUM_META, VOCAB, MambaConfig
 from musicgen_tpu.models.mamba import MambaLM
-from musicgen_tpu.parallel.pipeline import make_pp_train_step, pp_loss
+from musicgen_tpu.parallel.pipeline import (
+    default_microbatches,
+    make_pp_train_step,
+    pp_format,
+    pp_init,
+    pp_loss,
+    pp_opt_state_unformat,
+    pp_unformat,
+)
 from musicgen_tpu.train.loss import filtered_cross_entropy
 from musicgen_tpu.train.trainer import make_optimizer
 
@@ -98,18 +106,64 @@ def test_pp_dp_crossed_mesh_matches():
     np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
 
 
-def test_pp_training_descends():
+def test_pp_training_descends_with_sharded_state():
     model, params, src, trg, meta = _setup()
     opt = make_optimizer()
-    step = make_pp_train_step(model, opt, _pipe_mesh())
-    state = opt.init(params)
+    mesh = _pipe_mesh()
+    ppp, opt_state, shard, opt_shard = pp_init(params, opt, mesh, CFG)
+
+    # Persistent state is sharded at rest: each device holds L/S layers
+    # and 1/S of each vocab-sized matrix (+ the matching Adam moments).
+    lay0 = jax.tree.leaves(ppp["layers"])[0]
+    assert lay0.addressable_shards[0].data.shape[0] == CFG.n_layers // 4
+    tok_rows = ppp["tok_emb"].shape[0]
+    assert ppp["tok_emb"].addressable_shards[0].data.shape[0] <= -(-tok_rows // 4)
+    hk_cols = ppp["head_kernel"].shape[1]
+    assert ppp["head_kernel"].addressable_shards[0].data.shape[1] <= -(-hk_cols // 4)
+    mu = jax.tree.leaves(opt_state[0].mu["layers"])[0]
+    assert mu.addressable_shards[0].data.shape[0] == CFG.n_layers // 4
+
+    step = make_pp_train_step(
+        model, opt, mesh, shardings=shard, opt_shardings=opt_shard
+    )
     losses = []
     for _ in range(6):
-        params, state, loss = step(params, state, src, trg, meta)
+        ppp, opt_state, loss = step(ppp, opt_state, src, trg, meta)
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert all(b < a for a, b in zip(losses, losses[1:])), losses
     assert losses[-1] < losses[0] - 0.05, losses
+
+    # The step preserves the stage placement (donation keeps 1/S steady
+    # state) and the updated params round-trip to model format.
+    assert ppp["tok_emb"].sharding.spec == shard["tok_emb"].spec
+    back = pp_unformat(jax.device_get(ppp), CFG)
+    ref = _ref_loss(model, back, src, trg, meta)
+    got = jax.jit(
+        lambda p: pp_loss(p, src, trg, meta, CFG, mesh)
+    )(back)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+    st = pp_opt_state_unformat(jax.device_get(opt_state), CFG)
+    tmpl = opt.init(params)
+    assert jax.tree.structure(st) == jax.tree.structure(tmpl)
+
+
+def test_pp_format_roundtrip():
+    model, params, src, trg, meta = _setup()
+    back = pp_unformat(pp_format(params, CFG), CFG)
+    for (pa, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(params), jax.tree.leaves(back)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_default_microbatches():
+    assert default_microbatches(4, 4) == 4
+    assert default_microbatches(64, 4) == 16   # 4*S for the bubble
+    assert default_microbatches(64, 8) == 32
+    assert default_microbatches(6, 4) == 6
+    assert default_microbatches(2, 4) == 2
+    assert default_microbatches(7, 4) == 7     # prime batch: per-example
 
 
 def test_pp_rejects_bad_shapes():
