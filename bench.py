@@ -52,14 +52,19 @@ def main() -> None:
     )
     params = model.init(jax.random.PRNGKey(0), prompt[:, :16], meta)
 
-    # The real user path (sample/sampler.generate): on TPU this runs the
-    # fused full-model Pallas decode kernel with the sampler tail (grammar
-    # filter + penalty + exact top-3) fused in-kernel — one pallas_call per
-    # token, bf16 weights streamed at the HBM limit. The jitted runner is
-    # cached, so only the first call compiles.
+    # The real user path (sample/sampler.generate) with the RESIDENT
+    # whole-generation kernel (ops/pallas_generate): the ENTIRE 2000-token
+    # loop runs in ONE pallas_call — recurrent state, sampler state, grammar
+    # filter, penalty window, and exact top-3 all VMEM-resident; per-token
+    # HBM traffic is the bf16 weight stream only. Measured A/B vs the
+    # per-token fused path at this exact workload (experiments/r4/
+    # bench_resident_bf16.log): 3,759 vs 3,484 tok/s/seq — resident wins,
+    # so it is the headline path. The jitted runner is cached, so only the
+    # first call compiles.
     def run(params, prompt, meta, key):
         return generate(
-            model, params, "mamba", prompt, meta, num_tokens, prompt_len, key
+            model, params, "mamba", prompt, meta, num_tokens, prompt_len, key,
+            resident=True,
         )
 
     # Warmup/compile. NB: np.asarray (device->host fetch) is the sync point;

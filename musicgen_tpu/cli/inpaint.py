@@ -17,6 +17,7 @@ note_to_midi.
 from __future__ import annotations
 
 import argparse
+import os
 
 import jax
 import jax.numpy as jnp
@@ -74,7 +75,7 @@ def main() -> None:
 
     defaults = DiffusionDefaults(timestep_respacing=args.respacing)
     model, diffusion = create_model_and_diffusion(defaults)
-    raw = ocp.StandardCheckpointer().restore(args.ckpt)
+    raw = ocp.StandardCheckpointer().restore(os.path.abspath(args.ckpt))
     params = raw["ema"] if args.ema else raw["params"]
 
     times = None

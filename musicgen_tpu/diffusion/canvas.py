@@ -64,17 +64,23 @@ def canvas_to_notes(canvas: np.ndarray, default_tempo: float = 120.0) -> List[Mi
             while t < length and chan_row[t] > 0.5 and onset_row[t] < 0.5:
                 t += 1
             end = t
+            # Diffusion output is unbounded (denormalize maps [-1,1] to the
+            # plane range but samples can overshoot): clamp to valid MIDI —
+            # velocity byte [1,127], bpm >= 1 (non-positive tempo would run
+            # the tempo map backwards -> negative SMF delta times).
             velocity = float(np.max(canvas[1, p, start:end]))
-            tempo = float(np.max(canvas[3, p, start:end])) or default_tempo
+            velocity = min(max(int(round(velocity)), 1), 127)
+            tempo = float(np.max(canvas[3, p, start:end]))
+            tempo = round(tempo) if tempo >= 1.0 else default_tempo
             channel = int(round(float(np.max(chan_row[start:end])))) - 1
             notes.append(
                 MidiNote(
                     pitch=p,
                     time_start=start,
                     time_end=end,
-                    dynamic=int(round(velocity)),
-                    channel=max(channel, 0),
-                    tempo=round(tempo),
+                    dynamic=velocity,
+                    channel=min(max(channel, 0), 255),
+                    tempo=tempo,
                 )
             )
     notes.sort(key=lambda n: (n.time_start, n.pitch))

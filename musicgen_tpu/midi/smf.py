@@ -344,7 +344,12 @@ def save(
     tempo_events: (seconds, bpm) pairs sorted by time; if empty or not
     starting at 0, a 120 bpm default is prepended (pretty_midi default).
     """
-    tempos = list(tempo_events)
+    # Generated content can carry out-of-range tempi; a bpm <= 0 would make
+    # the tick slope negative and the tempo track non-monotonic. Clamp and
+    # sort defensively (pretty_midi silently tolerates the same inputs).
+    tempos = sorted(
+        [(max(t, 0.0), bpm if bpm >= 1.0 else 120.0) for t, bpm in tempo_events]
+    )
     if not tempos or tempos[0][0] > 0.0:
         tempos.insert(0, (0.0, 120.0))
     end_time = max(

@@ -230,9 +230,12 @@ def _attn_math(
     else:
         o = _dot(attn_t.astype(jnp.bfloat16), w_proj, contract=((0,), (0,)))
     o = o + proj_b  # (B, dm)
-    o_rows = jnp.concatenate(
-        [o, jnp.zeros((dims.rows - B, dm), f32)], axis=0
-    )
+    if dims.rows == B:  # Mosaic rejects the (0, dm) pad operand
+        o_rows = o
+    else:
+        o_rows = jnp.concatenate(
+            [o, jnp.zeros((dims.rows - B, dm), f32)], axis=0
+        )
     return x + o_rows, k_rows, v_rows
 
 

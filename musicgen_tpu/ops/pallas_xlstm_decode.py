@@ -146,6 +146,18 @@ def _layernorm(x, g, b, eps=1e-6):
     return (x - mean) * jax.lax.rsqrt(var + eps) * g + b
 
 
+def _pad_rows(x, rows):
+    """Zero-pad (b, d) -> (rows, d). Mosaic rejects zero-sized vector
+    types, so when b == rows (e.g. a full 8-slot serving batch) the
+    (0, d) pad operand must never be built."""
+    b = x.shape[0]
+    if rows == b:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((rows - b, x.shape[1]), x.dtype)], axis=0
+    )
+
+
 def _shift_lanes(x, d):
     """roll(x, d, axis=1): out[:, c] = x[:, c - d] (wraparound lanes are
     always masked by zero band weights). Python negative indexing makes one
@@ -208,7 +220,7 @@ def _mlstm_block_math(x, r, st, dims: XDims, quant: str):
 
     xn = _layernorm(x[:B], r["ln"][0:1, :], r["ln"][1:2, :])
     up = _mm(
-        jnp.concatenate([xn, jnp.zeros((dims.rows - B, dims.d_model), f32)], axis=0),
+        _pad_rows(xn, dims.rows),
         r["w_up"],
         r.get("w_up_s"),
         quant,
@@ -292,9 +304,7 @@ def _mlstm_block_math(x, r, st, dims: XDims, quant: str):
     h_att = _headblock_norm(h_att, DK) * r["outnorm"][0][None, :]
     h_att = h_att + r["skip"][0][None, :] * x_c
     y = h_att * (z * jax.nn.sigmoid(z))
-    y_rows = jnp.concatenate(
-        [y, jnp.zeros((dims.rows - B, di), f32)], axis=0
-    )
+    y_rows = _pad_rows(y, dims.rows)
     down = _mm(y_rows, r["w_down"], r.get("w_down_s"), quant)
     x_new = x + down  # pre-LN residual (XLSTMBlock.step)
 
@@ -304,9 +314,7 @@ def _mlstm_block_math(x, r, st, dims: XDims, quant: str):
     nm_row = jnp.concatenate(
         [n_new, m_new, jnp.zeros((B, nm_st.shape[1] - di - H), f32)], axis=1
     )
-    nm_new = jnp.concatenate(
-        [nm_row, jnp.zeros((nm_st.shape[0] - B, nm_st.shape[1]), f32)], axis=0
-    )
+    nm_new = _pad_rows(nm_row, nm_st.shape[0])
     return x_new, conv_new, s_new, nm_new
 
 
@@ -324,12 +332,11 @@ def _slstm_block_math(x, r, st, dims: XDims, quant: str):
     y_conv, conv_new = _conv_step(conv_st, xn, r["conv_w"], r["conv_b"])
     x_c = y_conv * jax.nn.sigmoid(y_conv)
 
-    pad = jnp.zeros((dims.rows - B, d), f32)
     wx_if = _mm(
-        jnp.concatenate([x_c, pad], axis=0), r["w_if"], r.get("w_if_s"), quant
+        _pad_rows(x_c, dims.rows), r["w_if"], r.get("w_if_s"), quant
     )[:B]  # (B, 2d): lanes [i | f]
     wx_zo = _mm(
-        jnp.concatenate([xn, pad], axis=0), r["w_zo"], r.get("w_zo_s"), quant
+        _pad_rows(xn, dims.rows), r["w_zo"], r.get("w_zo_s"), quant
     )[:B]  # (B, 2d): lanes [z | o]
 
     h_prev = hcnm_st[0, :B, :]  # (B, d) lanes h*DH+e
@@ -365,7 +372,7 @@ def _slstm_block_math(x, r, st, dims: XDims, quant: str):
 
     # FFN sub-block: x = x + ffn(ln_ffn(x)).
     fn = _layernorm(x1, r["ln_ffn"][0:1, :], r["ln_ffn"][1:2, :])
-    fn_rows = jnp.concatenate([fn, pad], axis=0)
+    fn_rows = _pad_rows(fn, dims.rows)
     up = _mm(fn_rows, r["ffn_up"], r.get("ffn_up_s"), quant)
     up = up + r["ffn_up_b"][0][None, :]
     # Zero the pad lanes (bias may be nonzero there only if packing forgot;
@@ -375,15 +382,13 @@ def _slstm_block_math(x, r, st, dims: XDims, quant: str):
     down = down[:B] + r["ffn_down_b"][0][None, :]
     x2 = x1 + down
 
-    x_new = jnp.concatenate(
-        [x2, jnp.zeros((dims.rows - B, d), f32)], axis=0
-    )
+    x_new = _pad_rows(x2, dims.rows)
     hcnm_new = jnp.stack(
         [
-            jnp.pad(h_new, ((0, _ROWS - B), (0, 0))),
-            jnp.pad(c_new, ((0, _ROWS - B), (0, 0))),
-            jnp.pad(n_new, ((0, _ROWS - B), (0, 0))),
-            jnp.pad(m_new, ((0, _ROWS - B), (0, 0))),
+            _pad_rows(h_new, _ROWS),
+            _pad_rows(c_new, _ROWS),
+            _pad_rows(n_new, _ROWS),
+            _pad_rows(m_new, _ROWS),
         ],
         axis=0,
     )

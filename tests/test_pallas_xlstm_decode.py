@@ -219,3 +219,38 @@ def test_generate_fused_xlstm_sb16_integration(small_setup):
         assert streams.shape == (prompt.shape[0], prompt.shape[1] + 6)
         new = np.asarray(streams[:, prompt.shape[1]:])
         assert (new >= 0).all() and (new < cfg.vocab_size).all()
+
+
+@pytest.mark.parametrize("quant", ["bf16", "int8w"])
+def test_fused_xlstm_step_full_rows_batch(quant):
+    """B == dims.rows (a full 8-slot serving batch): the kernel must not
+    build zero-sized row-pad operands (Mosaic rejects (0, d) vectors —
+    the round-4 serve-scheduler int8w crash)."""
+    cfg = XLSTMConfig(embedding_dim=256, num_blocks=3, slstm_at=(1,))
+    model = XLSTMLM(cfg)
+    rng = np.random.default_rng(1)
+    b, p = 8, 24
+    prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, p)), jnp.int32)
+    meta = jnp.asarray(
+        rng.integers(0, cfg.metadata_vocab_size, (b, NUM_META)), jnp.int32
+    )
+    params = model.init(jax.random.PRNGKey(0), prompt[:, :8], meta)
+    logits0, states = model.apply(params, prompt, meta, method=XLSTMLM.prefill)
+
+    dims = XDims.create(cfg, b)
+    assert dims.rows == b, "this test exists to cover the rows == B case"
+    wp = build_xlstm_decode_params(params, cfg, b, quant=quant)
+    carry = stack_xlstm_states(states, cfg, b)
+
+    tok = jnp.argmax(logits0[:, -1, :], -1).astype(jnp.int32)
+    ref_logits, _ = model.apply(params, tok, states, method=XLSTMLM.step)
+    fused_logits, _ = fused_xlstm_logits_step(
+        wp, tok, carry, cfg, dims, interpret=INTERPRET
+    )
+    tol = 0.05 if quant == "bf16" else 0.12
+    np.testing.assert_allclose(
+        np.asarray(fused_logits),
+        np.asarray(ref_logits),
+        rtol=tol,
+        atol=tol * float(jnp.abs(ref_logits).max()),
+    )
