@@ -299,7 +299,11 @@ def _build_write_tempo_map(
             tick, reader_sec = 0, 0.0
         else:
             # Anchor tick derived from the INTENDED seconds so error resets.
-            dtick = int(round((intended_sec - reader_sec) / prev_slope))
+            # Clamped non-negative: when consecutive tempo events sit closer
+            # than one tick (generated content emits per-note tempi at
+            # near-identical times), the previous anchor's rounding can
+            # overshoot and round this dtick to -1 — a negative SMF delta.
+            dtick = max(0, int(round((intended_sec - reader_sec) / prev_slope)))
             tick += dtick
             reader_sec += dtick * prev_slope
         prev_slope = us / (1e6 * ppq)

@@ -60,3 +60,25 @@ def test_readers_agree_on_foreign_file(rel):
     )
     assert len(main_keys) > 0, rel
     assert main_keys == oracle_keys, rel
+
+
+def test_dense_near_identical_tempo_events_serialize():
+    """Generated content (e.g. diffusion canvas decode) emits per-note tempo
+    changes at near-identical times — closer than one MIDI tick. The tempo
+    map's anchor rounding must never produce a negative delta (round-4
+    inpaint crash: _build_write_tempo_map dtick rounding to -1)."""
+    from musicgen_tpu.midi import extract_midi, smf
+    from musicgen_tpu.midi.smf import Instrument, SmfNote
+
+    inst = Instrument(program=0, is_drum=False)
+    inst.notes.append(SmfNote(pitch=60, velocity=80, start=0.0, end=1.0))
+    tempos = [(0.0, 120.0)] + [
+        (0.001 * i, 100.0 + (i % 7)) for i in range(1, 400)
+    ]
+    out = "/tmp/test_dense_tempo.mid"
+    smf.save(out, [inst], tempos)  # must not raise
+    notes = extract_midi(out)
+    assert len(notes) == 1
+    # Non-positive bpm is clamped, not propagated (negative tick slope).
+    smf.save(out, [inst], [(0.0, 0.0), (0.5, -30.0)])
+    assert len(extract_midi(out)) == 1
