@@ -850,6 +850,98 @@ def _ln2(lnp, d):
     )
 
 
+def fused_vmem_bytes(
+    variables: Any,
+    cfg: XLSTMConfig,
+    batch: int,
+    quant: str = "bf16",
+    state_dtype=jnp.float32,
+    tail: bool = False,
+) -> int:
+    """Estimate the fused kernel's scoped-VMEM requirement at this batch.
+
+    Mosaic allocates one persistent window per operand for the whole
+    kernel, double-buffered (2 buffering levels in the compiler's memory
+    dump), so the requirement is the SUM over all operands of
+    2 x window_bytes — not the per-grid-step maximum. The dominant
+    B-scaling term is the mLSTM matrix memory s_m, whose (H*DK, B*DV)
+    window appears both as input and as aliased output: 4 x 2048 x B*512
+    x itemsize. At B=8 f32 that is 128 MiB by itself, which is how the
+    round-4 serving campaign OOM'd the 128 MiB VMEM ceiling at slots=8
+    (experiments/r4/serve_xlstm_int8w.log: 166.71M used; this estimator
+    reproduces that dump to within the spill slack).
+
+    Shapes come from jax.eval_shape over the real pack builder (zero
+    FLOPs/bytes) plus the documented state-stack shapes, so the estimate
+    tracks the kernel's operand list by construction.
+    """
+    dims = XDims.create(cfg, batch)
+    qmode = "int8w" if quant in ("int8", "int8w") else "bf16"
+    pack = jax.eval_shape(
+        lambda v: build_xlstm_decode_params(v, cfg, batch, quant=qmode),
+        variables,
+    )
+    f32, sdt = jnp.float32, jnp.dtype(state_dtype)
+
+    def win(shape, dtype, bufs=2):
+        n = 1
+        for s in shape:
+            n *= s
+        return bufs * n * jnp.dtype(dtype).itemsize
+
+    total = win((dims.rows, dims.d_model), f32)  # x_in
+    keys = [f"m_{k}" for k in _M_WEIGHTS] + [f"s_{k}" for k in _S_WEIGHTS]
+    if qmode == "int8w":
+        keys += [f"m_{k}_s" for k in _M_QUANT]
+        keys += [f"s_{k}_s" for k in _S_QUANT]
+    for k in keys:  # per-layer stacks: window = one layer's slice
+        a = pack[k]
+        total += win(a.shape[1:], a.dtype)
+    total += win(pack["ln_f"].shape, f32)
+    total += win((dims.d_model, dims.head_chunk), pack["lm_w"].dtype)
+    if qmode == "int8w":
+        total += win((pack["lm_s"].shape[0], dims.head_chunk), f32)
+    # States: input window + aliased output window, each double-buffered.
+    di, d, H = dims.m_inner, dims.d_model, dims.heads
+    M, S, B = dims.n_mlstm, dims.n_slstm, dims.batch
+    states = [
+        ((B, 3, di), f32),  # conv_m
+        ((di, B * dims.m_dh), sdt),  # s_m — the B-scaling giant
+        ((8, di + 128), f32),  # nm_m
+        ((B, 3, d), f32),  # conv_s
+        ((4, 8, d), f32),  # hcnm_s
+    ]
+    for shape, dt in states:
+        total += 2 * win(shape, dt)
+    if tail:
+        total += win((1, dims.head_chunk), f32)  # lm_b
+        total += win((8, dims.padded_vocab), f32)  # gram
+        total += win((dims.rows, dims.padded_vocab + 128), f32)  # hist
+        total += 2 * win((dims.rows, 128), f32)  # vals + idx outputs
+        total += win((dims.rows, dims.padded_vocab), f32, bufs=1)  # scratch
+    else:
+        total += win((dims.rows, dims.head_chunk), f32)  # logits out
+    total += win((dims.rows, dims.d_model), f32, bufs=1)  # x_scr
+    return total
+
+
+# Fit ceiling for auto-selection, set to the kernel's own
+# vmem_limit_bytes request. The estimator reproduced the one measured
+# OOM dump to 1% (168.1 MiB estimated vs 166.71M reported at B=8 int8w
+# f32-state), so little extra slack is held back here — and a wrong
+# admission is cheap anyway: BatchScheduler._run_chunk catches a Mosaic
+# VMEM OOM at compile time and rebuilds around the XLA step.
+FUSED_VMEM_CEILING = 110 * 1024 * 1024
+
+
+def fused_vmem_fits(variables, cfg, batch, quant="bf16",
+                    state_dtype=jnp.float32, tail: bool = False) -> bool:
+    return (
+        fused_vmem_bytes(variables, cfg, batch, quant, state_dtype, tail)
+        <= FUSED_VMEM_CEILING
+    )
+
+
 def stack_xlstm_states(states, cfg: XLSTMConfig, batch: int,
                        state_dtype=jnp.float32):
     """XLSTMStack.prefill per-block state dicts -> stacked kernel arrays.

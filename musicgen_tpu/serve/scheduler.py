@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import functools
 import time
+import warnings
 from collections import deque
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
@@ -174,11 +175,23 @@ class BatchScheduler:
         # MODEL format (batch-leading — the insert/tile logic needs it);
         # _jit_chunk converts to the kernel's stacked layout at the chunk
         # edges, ~0.6 MB/step amortized against the 166 MB weight stream.
+        # Kernel batch = slots on one chip, the per-chip slot shard under a
+        # mesh (the shard_map body sees local shapes).
+        self._kernel_slots = (
+            slots // mesh.shape["data"] if mesh is not None else slots
+        )
         if fused is None:
             # Same auto policy as sample.generate: mamba's kernel wins on
             # accelerators outright; the xLSTM kernel pays only when int8w
             # halves the weight stream (its XLA step is ~96% of roofline at
-            # bf16 — BENCHMARKS.md).
+            # bf16 — BENCHMARKS.md). The xLSTM kernel additionally must FIT:
+            # its mLSTM matrix-memory windows scale with the kernel batch
+            # (4 x 2048 x B*512 x state bytes of VMEM), so a full 8-slot
+            # f32-state pool blows the 128 MiB ceiling that a 2-row
+            # sampling call fits easily (measured:
+            # experiments/r4/serve_xlstm_int8w.log, 166.71M/128M). The
+            # estimator routes such configs to the XLA step instead of
+            # crashing the compile.
             accel = jax.default_backend() != "cpu"
             fused = accel and (
                 (
@@ -188,15 +201,11 @@ class BatchScheduler:
                 or (
                     kind == "xlstm"
                     and (quant in ("int8", "int8w") or self._state_bf16)
+                    and self._xlstm_kernel_fits(params, quant)
                 )
             )
         self._fused = fused and kind in ("mamba", "xlstm")
         self.quant = quant
-        # Kernel batch = slots on one chip, the per-chip slot shard under a
-        # mesh (the shard_map body sees local shapes).
-        self._kernel_slots = (
-            slots // mesh.shape["data"] if mesh is not None else slots
-        )
         self._fused_pack = None
         if self._fused and kind == "mamba":
             from ..ops.pallas_decode import build_decode_params
@@ -492,7 +501,40 @@ class BatchScheduler:
             )
             self._active[s] = req
 
+    def _xlstm_kernel_fits(self, params, quant: str) -> bool:
+        from ..ops.pallas_xlstm_decode import fused_vmem_fits
+
+        return fused_vmem_fits(
+            params, self.model.cfg, self._kernel_slots, quant=quant,
+            state_dtype=jnp.bfloat16 if self._state_bf16 else jnp.float32,
+        )
+
     def _run_chunk(self) -> np.ndarray:
         p = self._fused_pack if self._fused else self.params
-        self._state, toks = self._jit_chunk(p, self._state)
+        try:
+            self._state, toks = self._jit_chunk(p, self._state)
+        except Exception as e:  # noqa: BLE001 — gated on the OOM signature
+            msg = str(e)
+            oom = (
+                "memory space vmem" in msg
+                or "Ran out of memory" in msg
+                or "RESOURCE_EXHAUSTED" in msg
+            )
+            if not (self._fused and oom):
+                raise
+            # The fused kernel's VMEM windows did not fit at this slot
+            # count (compile-time Mosaic OOM — the estimator's ceiling is
+            # a heuristic, explicit fused=True bypasses it entirely).
+            # Slot state lives in model format between chunks, so falling
+            # back is just rebuilding the chunk program around the XLA
+            # step; requests in flight lose nothing.
+            warnings.warn(
+                "fused decode kernel exceeded VMEM at "
+                f"slots={self._kernel_slots}; falling back to the XLA "
+                f"step path ({e!s:.200})"
+            )
+            self._fused = False
+            self._fused_pack = None
+            self.__dict__.pop("_jit_chunk", None)  # cached_property reset
+            self._state, toks = self._jit_chunk(self.params, self._state)
         return np.asarray(toks)

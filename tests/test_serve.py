@@ -427,3 +427,93 @@ def test_fused_chunk_matches_oneshot(setup):
         np.testing.assert_array_equal(
             res[rid], want, err_msg=f"fused request {i} diverged"
         )
+
+
+def test_xlstm_vmem_estimator_calibration():
+    """fused_vmem_bytes must reproduce the one measured Mosaic OOM dump
+    (experiments/r4/serve_xlstm_int8w.log: 166.71 MiB scoped VMEM at
+    B=8 int8w f32-state vs the 128 MiB chip ceiling) and admit the
+    measured-working configs (BENCHMARKS.md sampling table)."""
+    from musicgen_tpu.config import DEFAULT_CONFIG
+    from musicgen_tpu.models.registry import init_params, new_model
+    from musicgen_tpu.ops.pallas_xlstm_decode import (
+        FUSED_VMEM_CEILING,
+        fused_vmem_bytes,
+        fused_vmem_fits,
+    )
+
+    model = new_model("xlstm", DEFAULT_CONFIG, dtype=jnp.float32)
+    # eval_shape end to end: no full-size params are materialized.
+    shapes = jax.eval_shape(lambda: init_params(model, "xlstm", block_len=16))
+    MiB = 1024 * 1024
+    est = fused_vmem_bytes(shapes, model.cfg, 8, quant="int8w")
+    assert 160 * MiB < est < 175 * MiB, f"calibration drifted: {est/MiB:.1f}"
+    assert est > FUSED_VMEM_CEILING
+    # Known-working points must be admitted.
+    assert fused_vmem_fits(shapes, model.cfg, 2, quant="int8w")
+    assert fused_vmem_fits(
+        shapes, model.cfg, 2, quant="int8w", state_dtype=jnp.bfloat16
+    )
+    assert fused_vmem_fits(
+        shapes, model.cfg, 2, quant="bf16", state_dtype=jnp.bfloat16
+    )
+    # The measured-OOM point must be rejected...
+    assert not fused_vmem_fits(shapes, model.cfg, 8, quant="int8w")
+    # ...while halving the state (sb16) brings a full 8-slot pool back
+    # under the kernel's 110 MiB request.
+    assert fused_vmem_fits(
+        shapes, model.cfg, 8, quant="int8w", state_dtype=jnp.bfloat16
+    )
+
+
+def test_fused_oom_falls_back_to_xla_step(setup):
+    """A Mosaic VMEM OOM at chunk-compile time must not kill the server:
+    the scheduler rebuilds the chunk program around the XLA step and the
+    in-flight requests stream on, equal to the one-shot sampler."""
+    model, params, prompts, metas = setup
+    sched = BatchScheduler(
+        model, params, "mamba", prompt_len=PROMPT_LEN, slots=2, chunk=4,
+        greedy=True, block_len=PROMPT_LEN, fused=False,
+    )
+    # Simulate the fused path having been selected and its compile OOMing
+    # (the exact failure string the remote compiler returned in
+    # experiments/r4/serve_xlstm_int8w.log).
+    sched._fused = True
+    sched._fused_pack = sched.params  # stand-in; the raiser consumes it
+
+    def boom(p, s):
+        raise RuntimeError(
+            "XLA:TPU compile permanent error. Ran out of memory in "
+            "memory space vmem. Used 166.71M of 128.00M vmem."
+        )
+
+    sched.__dict__["_jit_chunk"] = boom  # poison the cached_property
+    ids = [sched.submit(prompts[i], metas[i], 5) for i in range(2)]
+    with pytest.warns(UserWarning, match="falling back to the XLA step"):
+        res = sched.run()
+    assert not sched._fused and sched._fused_pack is None
+    for i, rid in enumerate(ids):
+        want = _oracle(model, params, prompts[i], metas[i], 5)
+        np.testing.assert_array_equal(
+            res[rid], want, err_msg=f"post-fallback request {i} diverged"
+        )
+
+
+def test_fused_non_oom_error_propagates(setup):
+    """Only the VMEM-OOM signature triggers the fallback — an unrelated
+    compile error must surface, not be silently retried on XLA."""
+    model, params, prompts, metas = setup
+    sched = BatchScheduler(
+        model, params, "mamba", prompt_len=PROMPT_LEN, slots=2, chunk=4,
+        greedy=True, block_len=PROMPT_LEN, fused=False,
+    )
+    sched._fused = True
+    sched._fused_pack = sched.params
+
+    def boom(p, s):
+        raise RuntimeError("Mosaic lowering failed: unsupported op")
+
+    sched.__dict__["_jit_chunk"] = boom
+    sched.submit(prompts[0], metas[0], 5)
+    with pytest.raises(RuntimeError, match="Mosaic lowering failed"):
+        sched.run()
