@@ -130,14 +130,15 @@ def main() -> None:
         if args.augmentation:
             cmd.append("--augmentation")
         run(cmd)
-        # newest checkpoint
-        ckpts = sorted(
-            (os.path.join(ckpt_dir, d) for d in os.listdir(ckpt_dir)),
-            key=os.path.getmtime,
-        )
+        # Sanity-gated best checkpoint (utils/ckpt_sanity) — newest-by-mtime
+        # consumed a loss_0.00 crash-save in round 4 and committed an
+        # all-zero accuracy JSON.
+        from musicgen_tpu.utils.ckpt_sanity import select_checkpoint
+
+        best = select_checkpoint(ckpt_dir, log_path=log_path)
         acc_path = os.path.join(args.out, f"accuracy_{model}.json")
         run(py + ["musicgen_tpu.cli.evaluate", "accuracy", "--model", model,
-                  "--ckpt", ckpts[-1], "--data", np_dir,
+                  "--ckpt", best, "--data", np_dir,
                   "--metadata", meta_path, "--block-len", str(args.block_len),
                   "--repeats", "20", "--out", acc_path])
         with open(log_path) as fh:

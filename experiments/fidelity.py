@@ -36,12 +36,12 @@ def run(cmd):
     subprocess.run(cmd, check=True)
 
 
-def newest_ckpt(ckpt_dir: str) -> str:
-    ckpts = sorted(
-        (os.path.join(ckpt_dir, d) for d in os.listdir(ckpt_dir)),
-        key=os.path.getmtime,
-    )
-    return ckpts[-1]
+def pick_ckpt(ckpt_dir: str, log_path=None, **kw) -> str:
+    """Sanity-gated best checkpoint (utils/ckpt_sanity — r4 lesson: the
+    old newest-by-mtime pick consumed a loss_0.00 crash-save blindly)."""
+    from musicgen_tpu.utils.ckpt_sanity import select_checkpoint
+
+    return select_checkpoint(ckpt_dir, log_path=log_path, **kw)
 
 
 def main():
@@ -63,8 +63,15 @@ def main():
     if len(kids) == 1 and not glob.glob(os.path.join(np_dir, "*.npy")):
         np_dir = os.path.join(np_dir, kids[0])
     meta = os.path.join(args.out, "metadata.json")
-    gen_ckpt = newest_ckpt(os.path.join(args.out, "ckpt", args.model))
-    clf_ckpt = newest_ckpt(os.path.join(args.out, "ckpt", "classifier"))
+    gen_ckpt = pick_ckpt(
+        os.path.join(args.out, "ckpt", args.model),
+        log_path=os.path.join(args.out, f"training_log_{args.model}.json"),
+    )
+    clf_ckpt = pick_ckpt(
+        os.path.join(args.out, "ckpt", "classifier"),
+        log_path=os.path.join(args.out, "training_log_classifier.json"),
+        classifier=True,
+    )
     bands = sorted(
         d for d in os.listdir(np_dir) if os.path.isdir(os.path.join(np_dir, d))
     )

@@ -50,17 +50,24 @@ def load(kind):
     else:
         cfg = TransformerConfig()
         model = TransformerLM(cfg)
-    ckpts = sorted(glob.glob(f"{OUT}/ckpt/{kind}/loss_*"), key=os.path.getmtime)
     params = init_params(model, kind, block_len=64)
-    if ckpts:
+    try:
+        from musicgen_tpu.utils.ckpt_sanity import select_checkpoint
+
+        ckpt = select_checkpoint(
+            f"{OUT}/ckpt/{kind}",
+            log_path=f"{OUT}/training_log_{kind}.json",
+        )
         opt = T.make_optimizer()
         state = T.load_checkpoint(
-            ckpts[-1], T.TrainState(params, opt.init(params), 0)
+            ckpt, T.TrainState(params, opt.init(params), 0)
         )
         params = state.params
-        print(f"{kind}: loaded {ckpts[-1]}", flush=True)
-    else:
-        print(f"{kind}: no checkpoint, random params", flush=True)
+        print(f"{kind}: loaded {ckpt}", flush=True)
+    except (FileNotFoundError, RuntimeError) as e:
+        # r4 lesson: a parity number on near-init weights is meaningless —
+        # refuse to silently measure an untrained model.
+        raise SystemExit(f"{kind}: no sane trained checkpoint ({e})")
     return model, params
 
 

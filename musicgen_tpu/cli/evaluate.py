@@ -37,6 +37,9 @@ def _load(kind, ckpt):
 
 
 def main() -> None:
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # kills the 2-4 min recompile on every fresh process
     p = argparse.ArgumentParser(description="Evaluation harnesses")
     sub = p.add_subparsers(dest="cmd", required=True)
 

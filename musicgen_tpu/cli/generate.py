@@ -30,6 +30,9 @@ from ..train import trainer as T
 
 
 def main() -> None:
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # kills the 2-4 min recompile on every fresh process
     p = argparse.ArgumentParser(description="Composer-conditioned generation")
     p.add_argument("--length", type=int, default=1000)
     p.add_argument("--model", choices=["mamba", "xlstm", "transformer"], required=True)

@@ -25,6 +25,9 @@ import numpy as np
 
 
 def main() -> None:
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # kills the 2-4 min recompile on every fresh process
     p = argparse.ArgumentParser(description="RePaint MIDI inpainting")
     p.add_argument("--ckpt", required=True, help="train_diffusion --ckpt dir")
     p.add_argument("--midi", required=True, help="input MIDI file")

@@ -38,6 +38,9 @@ from ..train import trainer as T
 
 
 def main() -> None:
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # kills the 2-4 min recompile on every fresh process
     p = argparse.ArgumentParser(description="Continuous-batching serving")
     p.add_argument("--model", choices=["mamba", "xlstm", "transformer"],
                    required=True)

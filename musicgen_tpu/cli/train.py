@@ -24,6 +24,9 @@ from ..train.distributed import build_distributed_training
 
 
 def main() -> None:
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # kills the 2-4 min recompile on every fresh process
     p = argparse.ArgumentParser(description="Train a music generator")
     p.add_argument("--model", choices=["mamba", "xlstm", "transformer"], default="mamba")
     p.add_argument("--data", required=True, help=".npy token corpus root")
@@ -121,8 +124,13 @@ def main() -> None:
         params = state.params
 
     if args.pp > 1:
-        if args.model != "mamba":
-            raise SystemExit("--pp implements the mamba step only")
+        if args.model not in ("mamba", "transformer"):
+            raise SystemExit(
+                "--pp implements the mamba and transformer steps only "
+                "(xLSTM needs a raw-param full-sequence stage forward for "
+                "its mLSTM/sLSTM mix — not yet ported; ARCHITECTURE.md "
+                "scale-axes note)"
+            )
         import numpy as _np
         from jax.sharding import Mesh as _Mesh
 

@@ -20,6 +20,9 @@ from ..train.loss import classifier_bce
 
 
 def main() -> None:
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # kills the 2-4 min recompile on every fresh process
     p = argparse.ArgumentParser()
     p.add_argument("--data", required=True)
     p.add_argument("--metadata", required=True)

@@ -28,6 +28,9 @@ from ..midi import decode
 
 
 def main() -> None:
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # kills the 2-4 min recompile on every fresh process
     p = argparse.ArgumentParser()
     p.add_argument("--data", required=True, help=".npy token corpus root")
     p.add_argument("--steps", type=int, default=1000)

@@ -678,3 +678,88 @@ def fused_transformer_sample_step(
     k_ring = _scatter_kv(k_ring, k_new, c, dims.batch)
     v_ring = _scatter_kv(v_ring, v_new, c, dims.batch)
     return vals[:b, :3], idxs[:b, :3], (k_meta, v_meta, k_ring, v_ring)
+
+
+def fused_vmem_bytes(
+    variables: Any,
+    cfg: TransformerConfig,
+    batch: int,
+    quant: str = "bf16",
+    tail: bool = True,
+) -> int:
+    """Estimate the fused kernel's scoped-VMEM requirement at this batch.
+
+    Same model as ops/pallas_xlstm_decode.fused_vmem_bytes: Mosaic holds one
+    double-buffered persistent window per operand for the whole grid, so the
+    requirement is the SUM over operands of 2 x window_bytes. The dominant
+    B-scaling operands here are the ring KV caches — window (B, S, d_model)
+    bf16 for each of k_ring/v_ring (fused_transformer_decode in_specs): at
+    B=2/S=2048/dm=1024 that is 2 x 2 x 16.8 MiB = 33.6 MiB of the budget;
+    at B=4 it doubles to 67.1 MiB and the kernel exceeded the 128 MiB chip
+    ceiling (152.38M used — experiments/r4/fidelity_transformer.log, the
+    compile crash that killed the round-4 fidelity campaign). Weight windows
+    are per-layer slices and do not scale with B.
+
+    Shapes come from jax.eval_shape over build_transformer_decode_params
+    (zero FLOPs) plus the in_specs/out_specs windows, so the estimate tracks
+    the kernel's operand list by construction. It underestimates the
+    measured Mosaic dump ~10% (spill/revectorization slack), which the
+    conservative ceiling below absorbs.
+    """
+    dims = TDims.create(cfg, batch)
+    qmode = "int8" if quant in ("int8", "int8w") else "bf16"
+    pack = jax.eval_shape(
+        lambda v: build_transformer_decode_params(v, cfg, batch, quant=qmode),
+        variables,
+    )
+    bf16, f32 = jnp.bfloat16, jnp.float32
+
+    def win(shape, dtype, bufs=2):
+        n = 1
+        for s in shape:
+            n *= s
+        return bufs * n * jnp.dtype(dtype).itemsize
+
+    dm, S, B = dims.d_model, dims.ring, dims.batch
+    total = win((dims.rows, dm), f32)  # x_in
+    for k in ("w_qkv", "w_proj", "proj_b", "ln1", "ln2",
+              "w_fc", "b_fc", "w_out", "b_out", "rel_ring", "rel_meta"):
+        a = pack[k]  # (L, ...) stacks: window = one layer's slice
+        total += win(a.shape[1:], a.dtype)
+    total += 2 * win((B, 8, dm), bf16)  # k_meta + v_meta
+    total += 2 * win((B, S, dm), bf16)  # k_ring + v_ring — the B-scaling giants
+    total += win(pack["ln_f"].shape, f32)
+    total += win((dm, dims.head_chunk), pack["lm_w"].dtype)
+    if qmode == "int8":
+        for k in ("qkv_s", "proj_s", "fc_s", "out_s"):
+            a = pack[k]
+            total += win(a.shape[1:], a.dtype)
+        total += win((pack["lm_s"].shape[0], dims.head_chunk), f32)
+    total += 2 * win((dims.rows, dm), bf16)  # k_new + v_new outputs
+    if tail:
+        total += win((1, dims.head_chunk), f32)  # lm_b
+        total += win((8, dims.padded_vocab), f32)  # gram8
+        total += win((dims.rows, dims.padded_vocab + 128), f32)  # hist_oh
+        total += 2 * win((dims.rows, 128), f32)  # vals + idx outputs
+        total += win((dims.rows, dims.padded_vocab), f32, bufs=1)  # scratch
+    else:
+        total += win((dims.rows, dims.head_chunk), f32)  # logits out
+    total += win((dims.rows, dm), f32, bufs=1)  # x_scr
+    return total
+
+
+# Fit ceiling for auto-selection. The kernel requests vmem_limit_bytes =
+# 116 MiB; the estimator runs ~15% under the measured Mosaic dump (B=4
+# bf16 tail: 130.3 MiB estimated vs 152.38M reported), so admission uses
+# a 99 MiB ceiling — B=2 (the measured-good geometry, 98.2 MiB est,
+# 1,802 tok/s int8w) admits; B>=3 bf16 and B>=4 int8w reject and take
+# the XLA step path instead of crashing the CLI at compile time
+# (the round-4 fidelity-campaign failure). A wrong admission is still
+# recoverable: sample.generate catches the Mosaic compile OOM and
+# rebuilds around the XLA step, like serve.BatchScheduler._run_chunk.
+FUSED_VMEM_CEILING = 99 * 1024 * 1024
+
+
+def fused_vmem_fits(variables, cfg, batch, quant="bf16",
+                    tail: bool = True) -> bool:
+    return fused_vmem_bytes(variables, cfg, batch, quant, tail) <= FUSED_VMEM_CEILING

@@ -1,5 +1,12 @@
-"""Pipeline-parallel Mamba training: the LAYER stack sharded over a 'pipe'
-mesh axis with a GPipe microbatch schedule.
+"""Pipeline-parallel training (Mamba + Transformer): the LAYER stack
+sharded over a 'pipe' mesh axis with a GPipe microbatch schedule.
+
+Family support: MambaConfig (stage = contiguous Mamba2 mixers,
+`_mixer_full`) and TransformerConfig (stage = contiguous pre-LN rel-pos
+blocks, `_tblock_full` — flash custom-VJP attention off-CPU). Both share
+the embed/schedule/head machinery below; xLSTM would need a raw-param
+full-sequence forward for its mLSTM/sLSTM mix and is not yet ported
+(cli/train.py gates it with a clear error).
 
 The reference scales only by replicating the whole model per GPU
 (train_parallel.py:143-235 — DDP); a model too large for one device's HBM
@@ -60,10 +67,29 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..config import NUM_META, VOCAB, MambaConfig, VocabLayout
+from ..config import (
+    NUM_META,
+    VOCAB,
+    MambaConfig,
+    TransformerConfig,
+    VocabLayout,
+)
 from ..ops.grammar import filtered_logits
 from ..ops.ssm import causal_conv1d, ssd_chunked
 from .sp_train import _layernorm, _rms_norm_gated
+
+
+def _n_layers(cfg) -> int:
+    return cfg.n_layer if isinstance(cfg, TransformerConfig) else cfg.n_layers
+
+
+def _layer_key(cfg) -> str:
+    # flax module names: MambaLM stacks `layer_{i}`, TransformerLM `block_{i}`.
+    return "block_" if isinstance(cfg, TransformerConfig) else "layer_"
+
+
+def _norm_key(cfg) -> str:
+    return "ln_f" if isinstance(cfg, TransformerConfig) else "norm"
 
 
 def default_microbatches(batch: int, n_stages: int) -> int:
@@ -132,39 +158,82 @@ def _mixer_full(lp, u: jax.Array, cfg: MambaConfig) -> jax.Array:
     return y @ lp["out_proj"]["kernel"].astype(u.dtype)
 
 
+def _tblock_full(lp, x: jax.Array, cfg: TransformerConfig) -> jax.Array:
+    """One Transformer Block forward on a FULL-length stream from raw params.
+
+    Mirrors models/transformer.Block.__call__ exactly (pre-LN, rel-pos
+    attention with the reference's n_embd**-0.5 scale, ReLU FFN, residuals),
+    so a pipeline stage's math is comparable to the flax module's to float
+    tolerance. Attention impl follows the model's 'auto' policy: the flash
+    custom-VJP kernel off-CPU (the training hot path), the XLA oracle on
+    the CPU dryrun mesh."""
+    c = cfg
+    b, t, _ = x.shape
+    hd = c.n_embd // c.n_heads
+
+    def split(h):
+        return h.reshape(b, t, c.n_heads, hd).transpose(0, 2, 1, 3)
+
+    h = _layernorm(x, lp["ln1"]["scale"], lp["ln1"]["bias"])
+    a = lp["attn"]
+    q = split(h @ a["q"]["kernel"])
+    k = split(h @ a["k"]["kernel"])
+    v = split(h @ a["v"]["kernel"])
+    scale = float(c.n_embd) ** -0.5
+    impl = c.attention_impl
+    if impl == "auto":
+        impl = "flash" if jax.default_backend() != "cpu" else "xla"
+    if impl == "flash":
+        from ..ops.pallas_attention import flash_relpos_attention_train
+
+        out = flash_relpos_attention_train(q, k, v, a["rel_pos_emb"], scale)
+    else:
+        from ..ops.attention import relpos_attention
+
+        out = relpos_attention(q, k, v, a["rel_pos_emb"], scale)
+    out = out.transpose(0, 2, 1, 3).reshape(b, t, c.n_embd)
+    x = x + (out @ a["proj"]["kernel"] + a["proj"]["bias"])
+    h = _layernorm(x, lp["ln2"]["scale"], lp["ln2"]["bias"])
+    m = lp["mlp"]
+    h = jax.nn.relu(h @ m["fc"]["kernel"] + m["fc"]["bias"])
+    return x + (h @ m["out"]["kernel"] + m["out"]["bias"])
+
+
 # ---------------------------------------------------------------------------
 # Canonical pipeline parameter format + shardings
 # ---------------------------------------------------------------------------
 
-def pp_format(params: Any, cfg: MambaConfig) -> dict:
+def pp_format(params: Any, cfg) -> dict:
     """Model-format flax params -> the pipeline training format.
 
     Layers stacked on a leading (n_layers,) axis; embedding tables, final
     norm and head pulled to the top level so they can carry their own
     shardings."""
     p = params["params"]
+    key = _layer_key(cfg)
     stacked = jax.tree.map(
         lambda *xs: jnp.stack(xs),
-        *[p[f"layer_{i}"] for i in range(cfg.n_layers)],
+        *[p[f"{key}{i}"] for i in range(_n_layers(cfg))],
     )
     return {
         "layers": stacked,
         "meta_emb": p["metadata_embedding"]["embedding"],
         "tok_emb": p["token_embedding"]["embedding"],
-        "norm": p["norm"],
+        "norm": p[_norm_key(cfg)],
         "head_kernel": p["lm_head"]["kernel"],
         "head_bias": p["lm_head"]["bias"],
     }
 
 
-def pp_unformat(ppp: dict, cfg: MambaConfig) -> Any:
+def pp_unformat(ppp: dict, cfg) -> Any:
     """Inverse of pp_format (for checkpoint save / interop)."""
     p = {}
-    for i in range(cfg.n_layers):
-        p[f"layer_{i}"] = jax.tree.map(lambda a, i=i: a[i], ppp["layers"])
+    key = _layer_key(cfg)
+    for i in range(_n_layers(cfg)):
+        p[f"{key}{i}"] = jax.tree.map(lambda a, i=i: a[i], ppp["layers"])
     p["metadata_embedding"] = {"embedding": ppp["meta_emb"]}
     p["token_embedding"] = {"embedding": ppp["tok_emb"]}
-    p["norm"] = ppp["norm"]
+    p[_norm_key(cfg)] = ppp["norm"]
     p["lm_head"] = {"kernel": ppp["head_kernel"], "bias": ppp["head_bias"]}
     return {"params": p}
 
@@ -240,12 +309,12 @@ def _pp_loss_fmt(
     layout: VocabLayout = VOCAB,
 ) -> jax.Array:
     n_stages = mesh.shape[axis]
-    if cfg.n_layers % n_stages:
+    if _n_layers(cfg) % n_stages:
         raise ValueError(
-            f"n_layers {cfg.n_layers} must divide over the '{axis}' axis "
+            f"n_layers {_n_layers(cfg)} must divide over the '{axis}' axis "
             f"size {n_stages}"
         )
-    l_per_stage = cfg.n_layers // n_stages
+    l_per_stage = _n_layers(cfg) // n_stages
     b, t = src.shape
     m = microbatches if microbatches is not None else default_microbatches(
         b, n_stages
@@ -294,11 +363,14 @@ def _pp_loss_fmt(
         def stage_fwd(x):
             for j in range(l_per_stage):
                 lp = jax.tree.map(lambda a, j=j: a[j], stk)
-                y = _mixer_full(lp, x, cfg)
-                x = x + y if cfg.residual else y
+                if isinstance(cfg, TransformerConfig):
+                    x = _tblock_full(lp, x, cfg)  # residuals inside the block
+                else:
+                    y = _mixer_full(lp, x, cfg)
+                    x = x + y if cfg.residual else y
             return x
 
-        if cfg.remat:
+        if getattr(cfg, "remat", False):
             # Backward recomputes the mixer internals per tick; the scan
             # then holds one (mb, stream, D) residual per tick instead of
             # every intermediate of every mixer.

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import warnings
 from typing import Any, Callable, NamedTuple, Tuple
 
 import jax
@@ -654,6 +655,7 @@ def generate(
     if quant.endswith("-sb16"):
         assert kind == "xlstm", "'-sb16' state storage is an xLSTM option"
         state_bf16, quant = True, quant[: -len("-sb16")]
+    auto_fused = fused is None
     if fused is None:
         # Auto-select only configs where the kernels WIN: the mamba kernel
         # bakes in the reference's no-residual stack (DecodeDims.create
@@ -688,19 +690,72 @@ def generate(
             and block_len == mc.block_len
             and int(prompt.shape[1]) == block_len
         )
+    if auto_fused and fused and kind in ("xlstm", "transformer"):
+        # VMEM admission (VERDICT r4 weak #2): the fused kernels hold one
+        # double-buffered persistent window per operand, and the B-scaling
+        # operands (transformer ring KV, xLSTM mLSTM matrix memory) blow the
+        # ~128 MiB chip VMEM at batch >= 3-4 — a COMPILE-TIME Mosaic OOM
+        # that used to hard-crash the CLI (experiments/r4/
+        # fidelity_transformer.log). The serve scheduler got this gate in
+        # round 4 (serve/scheduler.py:504); this is the second call site.
+        # Explicit fused=True bypasses the estimate entirely (trust the
+        # caller); the runtime fallback below still catches the OOM.
+        mc = getattr(model, "cfg", None)
+        if mc is not None:
+            if kind == "transformer":
+                from ..ops.pallas_transformer_decode import fused_vmem_fits
+
+                fused = fused_vmem_fits(
+                    params, mc, int(prompt.shape[0]), quant,
+                    tail=(mode == "combined"),
+                )
+            else:
+                from ..ops.pallas_xlstm_decode import fused_vmem_fits
+
+                fused = fused_vmem_fits(
+                    params, mc, int(prompt.shape[0]), quant,
+                    state_dtype=jnp.bfloat16 if state_bf16 else jnp.float32,
+                    tail=(mode == "combined"),
+                )
     resident = resident and kind == "mamba" and mode == "combined"
     if resident:
         fused = True
     if decode_pack is not None:
         assert fused, "decode_pack requires the fused decode path"
-    run = _make_generate_runner(
-        model, kind, int(prompt.shape[0]), num_tokens, block_len,
-        greedy, mode, fused, quant, jit, resident,
-        has_pack=decode_pack is not None, state_bf16=state_bf16,
-    )
-    if decode_pack is not None:
-        return run(params, prompt, meta, rng, decode_pack)
-    return run(params, prompt, meta, rng)
+
+    def _run(fused_now):
+        run = _make_generate_runner(
+            model, kind, int(prompt.shape[0]), num_tokens, block_len,
+            greedy, mode, fused_now, quant, jit, resident and fused_now,
+            has_pack=decode_pack is not None, state_bf16=state_bf16,
+        )
+        if decode_pack is not None:
+            return run(params, prompt, meta, rng, decode_pack)
+        return run(params, prompt, meta, rng)
+
+    if not (auto_fused and fused):
+        return _run(fused)
+    try:
+        return _run(True)
+    except Exception as e:  # noqa: BLE001 — gated on the OOM signature
+        msg = str(e)
+        oom = (
+            "memory space vmem" in msg
+            or "Ran out of memory" in msg
+            or "RESOURCE_EXHAUSTED" in msg
+        )
+        if not oom or decode_pack is not None:
+            raise
+        # The admission estimate was wrong (it carries ~15% slack but
+        # Mosaic's allocator is the ground truth). Auto-selected fused
+        # paths degrade to the XLA step loop instead of crashing — same
+        # recovery as serve.BatchScheduler._run_chunk.
+        warnings.warn(
+            f"fused decode kernel exceeded VMEM at batch "
+            f"{int(prompt.shape[0])}; falling back to the XLA step path "
+            f"({msg:.200s})"
+        )
+        return _run(False)
 
 
 @functools.lru_cache(maxsize=64)

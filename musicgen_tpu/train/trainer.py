@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import math
 import os
 from datetime import datetime
 from typing import Any, Optional
@@ -137,6 +138,8 @@ def make_classifier_train_step(model, optimizer, donate: bool = True):
 
 def checkpoint_name(loss: float) -> str:
     now = datetime.now().strftime("%Y-%m-%d-%H-%M-%S")
+    if math.isnan(loss):
+        loss = float("inf")  # a NaN tag would confuse best-by-loss parsing
     return f"loss_{loss:.2f}_time_{now}"
 
 
@@ -177,7 +180,8 @@ def save_checkpoint(
 
         def parsed_loss(p: str) -> float:
             try:
-                return float(os.path.basename(p).split("_")[1])
+                v = float(os.path.basename(p).split("_")[1])
+                return float("inf") if math.isnan(v) else v
             except (IndexError, ValueError):
                 return float("inf")
 
@@ -260,7 +264,14 @@ def train_lm(
 
     epochs = num_epochs if num_epochs is not None else values.epochs
     logger.message("Training started!")
-    avg_val_loss = 0.0
+    # Until the first validation pass completes, there is no honest loss to
+    # put in a checkpoint name. A crash before that point must save as
+    # `loss_inf_...` (parsed_loss -> inf, never retained as best), NOT
+    # `loss_0.00` — round 4's xLSTM run died at step 1 on a transport flake,
+    # crash-saved near-init weights named loss_0.00, and best-val retention
+    # then kept them as "best" forever, poisoning every downstream eval
+    # (experiments/r4/convergence_xlstm.log).
+    avg_val_loss = float("inf")
     try:
         for epoch in range(epochs):
             # Losses stay on device until the epoch summary: a float() per

@@ -129,3 +129,30 @@ def test_generate_fused_matches_xla_greedy(small_setup):
     ref = generate(model, params, fused=False, **kw)
     got = generate(model, params, fused=True, **kw)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_vmem_admission_full_size():
+    """VMEM admission regression (r4 fidelity-campaign crash): at the FULL
+    production geometry the estimator must admit the measured-good batch 2
+    and reject batch 4 bf16 (Mosaic dump 152.38M vs the 128M chip ceiling,
+    experiments/r4/fidelity_transformer.log)."""
+    from musicgen_tpu.config import TransformerConfig
+    from musicgen_tpu.models.registry import init_params
+    from musicgen_tpu.models.transformer import TransformerLM
+    from musicgen_tpu.ops.pallas_transformer_decode import (
+        FUSED_VMEM_CEILING,
+        fused_vmem_bytes,
+        fused_vmem_fits,
+    )
+
+    cfg = TransformerConfig()
+    params = init_params(TransformerLM(cfg), "transformer", block_len=64)
+    assert fused_vmem_fits(params, cfg, 2, "bf16", tail=True)
+    assert fused_vmem_fits(params, cfg, 2, "int8w", tail=True)
+    assert not fused_vmem_fits(params, cfg, 4, "bf16", tail=True)
+    assert not fused_vmem_fits(params, cfg, 8, "int8w", tail=True)
+    # The estimator reproduces the measured B=4 OOM within its documented
+    # ~15% Mosaic slack: 152.38M reported.
+    est = fused_vmem_bytes(params, cfg, 4, "bf16", tail=True)
+    assert 0.75 * 152.38e6 < est < 152.38e6 * 1.05
+    assert FUSED_VMEM_CEILING < 116 * 1024 * 1024  # below the kernel request

@@ -177,3 +177,82 @@ def test_pp_rejects_bad_shapes():
             params, src, trg, meta,
             dataclasses.replace(CFG, n_layers=3), _pipe_mesh(),
         )
+
+
+# ---------------------------------------------------------------------------
+# Transformer pipeline parallelism (VERDICT r4 #7: second family)
+# ---------------------------------------------------------------------------
+
+from musicgen_tpu.config import TransformerConfig
+from musicgen_tpu.models.transformer import TransformerLM
+
+TCFG = TransformerConfig(
+    n_embd=32, n_heads=4, n_layer=4, block_len=T, dropout=0.0,
+    vocab_size=VOCAB.vocab_size, metadata_vocab_size=9,
+)
+
+
+def _tsetup(batch=4):
+    rng = np.random.default_rng(1)
+    src = jnp.asarray(rng.integers(0, VOCAB.vocab_size, (batch, T)), jnp.int32)
+    trg = jnp.asarray(rng.integers(0, VOCAB.vocab_size, (batch, T)), jnp.int32)
+    meta = jnp.asarray(rng.integers(0, 9, (batch, NUM_META)), jnp.int32)
+    model = TransformerLM(TCFG)
+    params = model.init(jax.random.PRNGKey(0), src, meta)
+    return model, params, src, trg, meta
+
+
+def test_pp_transformer_loss_matches_single_device():
+    model, params, src, trg, meta = _tsetup()
+    ref = _ref_loss(model, params, src, trg, meta)
+    got = jax.jit(
+        lambda p: pp_loss(p, src, trg, meta, TCFG, _pipe_mesh())
+    )(params)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+
+
+def test_pp_transformer_gradients_match_single_device():
+    model, params, src, trg, meta = _tsetup()
+    g_ref = jax.grad(lambda p: _ref_loss(model, p, src, trg, meta))(params)
+    g_pp = jax.jit(jax.grad(
+        lambda p: pp_loss(p, src, trg, meta, TCFG, _pipe_mesh())
+    ))(params)
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_pp = jax.tree_util.tree_leaves(g_pp)
+    assert len(flat_ref) == len(flat_pp)
+    for (path, a), b in zip(flat_ref, flat_pp):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+        )
+
+
+def test_pp_transformer_training_descends_with_sharded_state():
+    model, params, src, trg, meta = _tsetup()
+    opt = make_optimizer()
+    mesh = _pipe_mesh()
+    ppp, opt_state, shard, opt_shard = pp_init(params, opt, mesh, TCFG)
+    lay0 = jax.tree.leaves(ppp["layers"])[0]
+    assert lay0.addressable_shards[0].data.shape[0] == TCFG.n_layer // 4
+    step = make_pp_train_step(
+        model, opt, mesh, shardings=shard, opt_shardings=opt_shard
+    )
+    losses = []
+    for _ in range(6):
+        ppp, opt_state, loss = step(ppp, opt_state, src, trg, meta)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] - 0.05, losses
+    back = pp_unformat(jax.device_get(ppp), TCFG)
+    ref = _ref_loss(model, back, src, trg, meta)
+    got = jax.jit(lambda p: pp_loss(p, src, trg, meta, TCFG, mesh))(back)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+
+
+def test_pp_transformer_format_roundtrip():
+    model, params, *_ = _tsetup()
+    back = pp_unformat(pp_format(params, TCFG), TCFG)
+    for (pa, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(params), jax.tree.leaves(back)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
