@@ -50,8 +50,14 @@ def main():
 
     model = new_model(args.model, DEFAULT_CONFIG, dtype=jnp.float32)
     params = init_params(model, args.model, block_len=64)
+    from musicgen_tpu.utils.ckpt_sanity import is_sane_checkpoint, parsed_loss
+
+    # Best sane checkpoint (utils/ckpt_sanity): newest-by-mtime consumed a
+    # loss_0.00 crash-save in round 4.
     ckpts = sorted(
-        glob.glob(f"{OUT}/ckpt/{args.model}/loss_*"), key=os.path.getmtime
+        (p for p in glob.glob(f"{OUT}/ckpt/{args.model}/loss_*")
+         if is_sane_checkpoint(p)),
+        key=parsed_loss, reverse=True,
     )
     if ckpts:
         opt = T.make_optimizer()

@@ -28,7 +28,13 @@ from musicgen_tpu.models.registry import init_params
 from musicgen_tpu.ops.pallas_decode import _quantize_cols
 
 OUT = "experiments/out"
-ckpts = sorted(glob.glob(f"{OUT}/ckpt/mamba/loss_*"), key=os.path.getmtime)
+from musicgen_tpu.utils.ckpt_sanity import is_sane_checkpoint, parsed_loss
+
+# Best sane checkpoint last (utils/ckpt_sanity; r4: mtime order is unsafe).
+ckpts = sorted(
+    (p for p in glob.glob(f"{OUT}/ckpt/mamba/loss_*") if is_sane_checkpoint(p)),
+    key=parsed_loss, reverse=True,
+)
 assert ckpts, "no mamba checkpoint yet"
 cfg = MambaConfig()
 model = MambaLM(cfg)

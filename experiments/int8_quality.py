@@ -24,7 +24,13 @@ from musicgen_tpu.ops.pallas_decode import (
 )
 
 OUT = os.environ.get("INT8_OUT", "experiments/out_gen")
-ckpts = sorted(glob.glob(f"{OUT}/ckpt/mamba/loss_*"), key=os.path.getmtime)
+from musicgen_tpu.utils.ckpt_sanity import is_sane_checkpoint, parsed_loss
+
+# Best sane checkpoint last (utils/ckpt_sanity; r4: mtime order is unsafe).
+ckpts = sorted(
+    (p for p in glob.glob(f"{OUT}/ckpt/mamba/loss_*") if is_sane_checkpoint(p)),
+    key=parsed_loss, reverse=True,
+)
 assert ckpts, "no mamba checkpoint yet"
 cfg = MambaConfig(ssd_impl="pallas")
 model = MambaLM(cfg)
