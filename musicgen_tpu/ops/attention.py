@@ -108,8 +108,18 @@ def relpos_attention_step(
     ac = jnp.einsum("bhd,bhsd->bhs", q, k_cache)
     rel_idx = jnp.clip(rel_base - key_ages, 0, t - 1)
     if key_ages.ndim == 2:
-        rel = rel_emb[:, rel_idx, :]  # (H, B, S, D)
-        bd = jnp.einsum("bhd,hbsd->bhs", q, rel)
+        # bd[b,h,s] = q[b,h,:] . rel_emb[h, rel_idx[b,s], :]. Gathering the
+        # table rows first materializes (H, B, S, D) — at serving batches
+        # (slots=8, S=2048) that is hundreds of MB of HBM traffic per token
+        # and was the cap on transformer continuous-batching throughput.
+        # Reorder: contract q against ALL T table rows (one (B,H,T) matmul
+        # that reads the ~3 MB table once — MXU work, not bandwidth), then
+        # gather scalars at (B,H,S).
+        all_bd = jnp.einsum("bhd,htd->bht", q, rel_emb)  # (B, H, T)
+        idx = jnp.broadcast_to(
+            rel_idx[:, None, :], (q.shape[0], q.shape[1], rel_idx.shape[1])
+        )
+        bd = jnp.take_along_axis(all_bd, idx, axis=2)  # (B, H, S)
         vis = (key_ages >= 0) & (key_ages <= rel_base)  # (B, S)
         visible = vis[:, None, :]
     else:

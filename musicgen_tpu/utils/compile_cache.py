@@ -17,17 +17,38 @@ property of the CLIs:
     the residual is orbax checkpoint load + prompt seeding, not compile).
 
 Opt out with MUSICGEN_NO_COMPILE_CACHE=1 (e.g. to measure true cold-start).
+
+This module doubles as the common CLI bootstrap: it also honors
+MUSICGEN_PLATFORM={cpu,tpu,...} to force the jax backend. The environment's
+sitecustomize force-registers the single-tenant `axon` TPU and ignores
+JAX_PLATFORMS from the env, so without this hook a CLI invocation always
+contends for the (possibly busy) TPU; MUSICGEN_PLATFORM=cpu runs the same
+CLI surface host-side (smoke tests, doc examples, CI boxes with no chip).
 """
 from __future__ import annotations
 
 import os
 
 
+def apply_platform_override() -> str | None:
+    """Force the jax backend from $MUSICGEN_PLATFORM (no-op when unset).
+    Must run before the first jax computation; jax.config (unlike the
+    JAX_PLATFORMS env var, which sitecustomize overrides here) wins."""
+    plat = os.environ.get("MUSICGEN_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    return plat or None
+
+
 def enable_persistent_cache() -> str | None:
     """Point jax at a persistent on-disk compilation cache; returns the dir
     (None when disabled). Safe to call multiple times and before any jax
     computation; must be called before the first jit compilation to have
-    effect on it."""
+    effect on it. Also applies the MUSICGEN_PLATFORM backend override —
+    this function is the shared bootstrap every CLI entry point calls."""
+    apply_platform_override()
     if os.environ.get("MUSICGEN_NO_COMPILE_CACHE"):
         return None
     cache_dir = (

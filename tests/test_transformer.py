@@ -147,3 +147,50 @@ def test_streaming_step_deterministic_and_full_window_geometry(model_and_params)
     l2, _ = model.apply(params, tok, caches, slot, ages, rel_base,
                         method=TransformerLM.step)
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_relpos_step_2d_ages_matches_naive_gather():
+    """The serving (B,S) per-row-ages branch computes BD as a (B,H,T)
+    matmul against the whole rel table + scalar gather (HBM fix, round 5);
+    it must equal the naive gather-table-rows-then-dot formula, and the 1D
+    shared-ages path when every row has the same ages."""
+    from musicgen_tpu.ops.attention import relpos_attention_step
+
+    rng = np.random.default_rng(7)
+    B, H, S, D, T = 3, 4, 8, 16, 12
+    q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    rel = jnp.asarray(rng.standard_normal((H, T, D)), jnp.float32)
+    scale = D ** -0.5
+    rel_base = jnp.int32(T - 1)
+    # Per-row ages at different stream offsets, some slots unfilled (<0).
+    ages = jnp.asarray(
+        [rng.permutation(S), rng.permutation(S), [-1] * 4 + [0, 1, 2, 3]],
+        jnp.int32,
+    )
+
+    out = relpos_attention_step(q, k, v, rel, scale, ages, rel_base)
+
+    # Naive formula: gather table rows per (b, s), dot with q.
+    rel_idx = np.clip(np.asarray(rel_base) - np.asarray(ages), 0, T - 1)
+    gathered = np.asarray(rel)[:, rel_idx, :]  # (H, B, S, D)
+    ac = np.einsum("bhd,bhsd->bhs", np.asarray(q), np.asarray(k))
+    bd = np.einsum("bhd,hbsd->bhs", np.asarray(q), gathered)
+    scores = (ac + bd) * scale
+    vis = (np.asarray(ages) >= 0)[:, None, :]
+    scores = np.where(vis, scores, -1e30)
+    probs = np.exp(scores - scores.max(-1, keepdims=True))
+    probs = probs / probs.sum(-1, keepdims=True)
+    ref = np.einsum("bhs,bhsd->bhd", probs, np.asarray(v))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+    # Shared ages: (B,S) broadcast of one row must equal the 1D path.
+    shared = jnp.asarray(rng.permutation(S), jnp.int32)
+    out1d = relpos_attention_step(q, k, v, rel, scale, shared, rel_base)
+    out2d = relpos_attention_step(
+        q, k, v, rel, scale, jnp.broadcast_to(shared, (B, S)), rel_base
+    )
+    np.testing.assert_allclose(
+        np.asarray(out1d), np.asarray(out2d), rtol=1e-6, atol=1e-6
+    )
