@@ -14,8 +14,14 @@ R5=experiments/r5
 mkdir -p $R5
 log() { echo "[watchdog $(date -u +%H:%M:%S)] $*" >> $R5/watchdog.log; }
 
+# Empirics (watchdog.log + this session's probes): a CLEAN client exit
+# releases the device within seconds-to-minutes, but a KILLED client (incl.
+# a timed-out probe) wedges the backend for several minutes, and each
+# subsequent kill extends the wedge. So probe with a long leash (the device
+# can legitimately take ~60 s on first touch), and back off hard after a
+# probe that had to be killed.
 probe() {
-  timeout 180 $PY -c "
+  timeout 420 $PY -c "
 import jax, jax.numpy as jnp, numpy as np
 x = jnp.ones((256, 256), jnp.bfloat16)
 assert float(np.asarray((x @ x).sum())) > 0
@@ -65,7 +71,8 @@ while true; do
       log "TPU probe OK; (re)starting queue"
       fire_queue
     else
-      log "TPU probe failed/hung; retry in 5 min"
+      log "TPU probe failed/hung; backing off 10 min (killed probes wedge the device)"
+      sleep 300
     fi
   fi
   sleep 300
