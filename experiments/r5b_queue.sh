@@ -36,7 +36,7 @@ skip() { [ -f $R5/.done_$1 ] && { echo "=== R5B SKIP $1 (done) ===" | tee -a $R5
 
 if ! skip conv_mamba; then
 stage "convergence mamba + classifier (augmented, 120 epochs + clf 150)"
-timeout 4500 $PY experiments/convergence.py --out $OUT \
+timeout 9000 $PY experiments/convergence.py --out $OUT \
     --epochs 120 --block-len 1024 --models mamba \
     --augmentation --classifier-epochs 150 > $R5/convergence_mamba.log 2>&1; rc
 cp -f $OUT/training_log_mamba.json $OUT/accuracy_mamba.json \
@@ -132,7 +132,7 @@ fi
 
 if ! skip conv_transformer; then
 stage "transformer convergence 120ep augmented"
-timeout 4500 $PY experiments/convergence.py --out $OUT \
+timeout 9000 $PY experiments/convergence.py --out $OUT \
     --epochs 120 --block-len 1024 --models transformer \
     --augmentation > $R5/convergence_transformer.log 2>&1; rc
 cp -f $OUT/training_log_transformer.json $OUT/accuracy_transformer.json \
