@@ -49,6 +49,10 @@ progress_stamp() {
 log "watchdog started"
 SILENT=0
 while true; do
+  if grep -q "DONE r5 perf queue" $R5/queue.log 2>/dev/null; then
+    log "queue complete; watchdog exiting"
+    exit 0
+  fi
   if queue_alive; then
     NOW=$(date +%s); LAST=$(progress_stamp); LAST=${LAST:-0}
     if [ $((NOW - LAST)) -gt 1200 ]; then
