@@ -27,6 +27,12 @@ import shutil
 import subprocess
 import sys
 
+# Running as `python experiments/convergence.py` puts experiments/ (not the
+# repo root) on sys.path; the late musicgen_tpu.utils.ckpt_sanity import in
+# main() needs the root (this crashed the first r5 conv_mamba stage AFTER
+# 120 epochs of training — fidelity.py had the same fix already).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 REFERENCE = "/root/reference"
 
 # Composer metadata for the shipped sample corpus (year/genre values are
