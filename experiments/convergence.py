@@ -93,8 +93,16 @@ def build_corpus(out_dir: str) -> str:
 
 
 def run(cmd, **kw):
+    import time
+
     print("+", " ".join(cmd), flush=True)
-    return subprocess.run(cmd, check=True, **kw)
+    r = subprocess.run(cmd, check=True, **kw)
+    # Gap before the next TPU client: connecting within seconds of the
+    # previous client's exit wedges the post-restart backend (DEV_NOTES
+    # r5 session 2). Hung stages are bounded by the queue timeouts and
+    # relaunched by the watchdog.
+    time.sleep(60)
+    return r
 
 
 def main() -> None:

@@ -31,9 +31,26 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run(cmd):
-    print("+", " ".join(cmd), flush=True)
-    subprocess.run(cmd, check=True)
+def run(cmd, timeout=1200):
+    """Run a CLI call with a hang guard. The post-restart axon backend
+    sometimes wedges a client that connects right after the previous one
+    exits (DEV_NOTES r5 session 2): the process sits at keepalive traffic
+    forever. Bound each call, back off 5 min on a timeout (killed clients
+    wedge the device for minutes), and retry once before giving up."""
+    import time
+
+    for attempt in (1, 2):
+        print("+", " ".join(cmd), f"(attempt {attempt})", flush=True)
+        try:
+            subprocess.run(cmd, check=True, timeout=timeout)
+            time.sleep(45)  # let the device release before the next client
+            return
+        except subprocess.TimeoutExpired:
+            if attempt == 2:
+                raise
+            print(f"  timed out after {timeout}s; backing off 300s then "
+                  "retrying once", flush=True)
+            time.sleep(300)
 
 
 def pick_ckpt(ckpt_dir: str, log_path=None, **kw) -> str:

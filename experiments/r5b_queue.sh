@@ -28,7 +28,10 @@ export MUSICGEN_OUT=$OUT INT8_OUT=$OUT
 export JAX_COMPILATION_CACHE_DIR=/root/repo/experiments/.jaxcache
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
 
-stage() { echo "=== R5B STAGE $1 $(date -u +%H:%M:%S) ===" | tee -a $R5/queue.log; }
+# stage() sleeps 90 s first: the post-restart backend wedges new clients
+# that connect within seconds of the previous client's exit (DEV_NOTES r5
+# session 2); the gap lets the device release cleanly between stages.
+stage() { sleep 90; echo "=== R5B STAGE $1 $(date -u +%H:%M:%S) ===" | tee -a $R5/queue.log; }
 rc() { echo "rc=$? $(date -u +%H:%M:%S)" | tee -a $R5/queue.log; }
 validate() { $PY experiments/validate_artifact.py "$@" 2>&1 | tee -a $R5/queue.log; }
 done_mark() { touch $R5/.done_$1; }
