@@ -75,7 +75,10 @@ def check_curve(entries: list) -> str | None:
 
 
 def check_stats(d: dict) -> str | None:
-    agg = d.get("aggregate_tok_s") or d.get("aggregate_tokens_per_s")
+    # cli.serve writes `aggregate_tok_per_s`; keep the other spellings for
+    # older artifacts.
+    agg = (d.get("aggregate_tok_per_s") or d.get("aggregate_tok_s")
+           or d.get("aggregate_tokens_per_s"))
     if agg is None or float(agg) <= 0:
         return f"no positive aggregate throughput: {list(d)}"
     return None
