@@ -96,18 +96,33 @@ def main():
           flush=True)
 
     gen_root = os.path.join(args.out, f"fidelity_midi_{args.model}")
-    shutil.rmtree(gen_root, ignore_errors=True)
     py = [sys.executable, "-m"]
     seed = 100
     # One generate call covers every band (per-composer loop inside the CLI
-    # reuses the compiled runner), batch samples per band per call.
+    # reuses the compiled runner), batch samples per band per call. Calls
+    # are resumable: a complete call{c} dir (>= batch files per band, same
+    # fixed seed 100+c) is skipped, so a stage timeout mid-campaign only
+    # costs the unfinished call on relaunch — a backend wedge ate 25 min of
+    # the first r5 xlstm stage and the timeout killed it at call 2 of 3.
+    # Partial call dirs are wiped and redone whole.
     calls = (args.per_band + args.batch - 1) // args.batch
     for c in range(calls):
+        cdir = os.path.join(gen_root, f"call{c}")
+        per_band = [
+            glob.glob(os.path.join(cdir, "*", band, "*.mid"))
+            for band in bands
+        ]
+        if per_band and all(len(found) >= args.batch for found in per_band):
+            print(f"call{c}: already complete "
+                  f"({sum(len(f) for f in per_band)} files), skipping",
+                  flush=True)
+            continue
+        shutil.rmtree(cdir, ignore_errors=True)
         run(py + ["musicgen_tpu.cli.generate", "--model", args.model,
                   "--ckpt", gen_ckpt, "--data", np_dir, "--metadata", meta,
                   "--length", str(args.length), "--batch", str(args.batch),
                   "--composers", ", ".join(bands),
-                  "--output", os.path.join(gen_root, f"call{c}"),
+                  "--output", cdir,
                   "--fused-decode", args.fused_decode,
                   "--seed", str(seed + c)])
 
