@@ -13,8 +13,11 @@ property of the CLIs:
     every remote-compiled TPU executable (all >> 2 s here) is kept.
   * a second process with identical program + compiler flags then
     deserializes instead of recompiling — measured on the serve CLI:
-    TTFC 133.8 s cold -> 6.6 s warm (experiments/r5/serve_warm_stats.json;
-    the residual is orbax checkpoint load + prompt seeding, not compile).
+    TTFC 206 s cold -> 55 s warm, aggregate 40 -> 146 tok/s
+    (experiments/r5/serve_cold_stats.json / serve_warm2_stats.json). The
+    warm residual is checkpoint load + prefill streamed over this
+    environment's ~15 MB/s device tunnel, not compile; on a locally
+    attached chip the same path is seconds.
 
 Opt out with MUSICGEN_NO_COMPILE_CACHE=1 (e.g. to measure true cold-start).
 
