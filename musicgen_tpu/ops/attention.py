@@ -18,6 +18,8 @@ A fused Pallas flash-attention kernel with the same contract lives in
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -108,18 +110,30 @@ def relpos_attention_step(
     ac = jnp.einsum("bhd,bhsd->bhs", q, k_cache)
     rel_idx = jnp.clip(rel_base - key_ages, 0, t - 1)
     if key_ages.ndim == 2:
-        # bd[b,h,s] = q[b,h,:] . rel_emb[h, rel_idx[b,s], :]. Gathering the
-        # table rows first materializes (H, B, S, D) — at serving batches
-        # (slots=8, S=2048) that is hundreds of MB of HBM traffic per token
-        # and was the cap on transformer continuous-batching throughput.
-        # Reorder: contract q against ALL T table rows (one (B,H,T) matmul
-        # that reads the ~3 MB table once — MXU work, not bandwidth), then
-        # gather scalars at (B,H,S).
-        all_bd = jnp.einsum("bhd,htd->bht", q, rel_emb)  # (B, H, T)
-        idx = jnp.broadcast_to(
-            rel_idx[:, None, :], (q.shape[0], q.shape[1], rel_idx.shape[1])
-        )
-        bd = jnp.take_along_axis(all_bd, idx, axis=2)  # (B, H, S)
+        # bd[b,h,s] = q[b,h,:] . rel_emb[h, rel_idx[b,s], :]. Two
+        # lowerings, same math (unit-pinned equal in
+        # tests/test_transformer.py::test_relpos_step_2d_ages_matches_naive_gather):
+        #   matmul: contract q against ALL T table rows (a (B,H,T) matmul
+        #     reading the ~3 MB table once), then gather scalars at (B,H,S).
+        #   gather: fetch the (H,B,S,D) table rows, then dot — more HBM
+        #     traffic on paper, but vector-gathers lower better on some
+        #     backend versions.
+        # Measured head-to-head at serving shape (slots=8, S=2048, trained
+        # weights, experiments/r5/serve_transformer*.log): gather 435 tok/s
+        # aggregate vs matmul 368 — XLA fuses the row-gather + dot better
+        # than the take_along_axis scalar-gather, so the HBM-traffic
+        # argument for the matmul form did not survive contact with the
+        # compiler. gather is the default; MUSICGEN_RELPOS_BD=matmul keeps
+        # the alternative lowering selectable for future backend versions.
+        if os.environ.get("MUSICGEN_RELPOS_BD") == "matmul":
+            all_bd = jnp.einsum("bhd,htd->bht", q, rel_emb)  # (B, H, T)
+            idx = jnp.broadcast_to(
+                rel_idx[:, None, :], (q.shape[0], q.shape[1], rel_idx.shape[1])
+            )
+            bd = jnp.take_along_axis(all_bd, idx, axis=2)  # (B, H, S)
+        else:
+            rel = rel_emb[:, rel_idx, :]  # (H, B, S, D)
+            bd = jnp.einsum("bhd,hbsd->bhs", q, rel)
         vis = (key_ages >= 0) & (key_ages <= rel_base)  # (B, S)
         visible = vis[:, None, :]
     else:
